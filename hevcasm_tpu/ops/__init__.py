@@ -1,0 +1,58 @@
+"""Reference-tier (pure jnp) implementations of every kernel family.
+
+Importing this module registers all REF-tier ops with the registry, the way
+linking the reference's C objects makes every `hevcasm_populate_*` available.
+"""
+
+from .. import registry
+from ..config import Tier
+
+from .sad import sad, sad_multiref, sad_grid
+from .ssd import ssd, ssd_linear
+from .satd import satd
+from .quantize import quantize, quantize_inverse, reconstruct
+from .transform import (
+    forward_transform,
+    inverse_transform,
+    inverse_transform_add,
+    add_residual,
+)
+from .pred_inter import pred_uni, pred_uni_16, pred_bi
+from .pred_intra import (
+    pred_intra,
+    pred_intra_dc,
+    pred_intra_planar,
+    pred_intra_angular,
+    pred_intra_all_modes,
+)
+
+_REF_OPS = {
+    "sad": sad,
+    "sad_multiref": sad_multiref,
+    "sad_grid": sad_grid,
+    "ssd": ssd,
+    "ssd_linear": ssd_linear,
+    "satd": satd,
+    "quantize": quantize,
+    "quantize_inverse": quantize_inverse,
+    "reconstruct": reconstruct,
+    "forward_transform": forward_transform,
+    "inverse_transform": inverse_transform,
+    "inverse_transform_add": inverse_transform_add,
+    "pred_uni": pred_uni,
+    "pred_bi": pred_bi,
+    "pred_intra": pred_intra,
+}
+
+for _name, _fn in _REF_OPS.items():
+    registry.register(_name, Tier.REF, _fn)
+
+__all__ = [
+    "sad", "sad_multiref", "sad_grid",
+    "ssd", "ssd_linear", "satd",
+    "quantize", "quantize_inverse", "reconstruct",
+    "forward_transform", "inverse_transform", "inverse_transform_add", "add_residual",
+    "pred_uni", "pred_uni_16", "pred_bi",
+    "pred_intra", "pred_intra_dc", "pred_intra_planar", "pred_intra_angular",
+    "pred_intra_all_modes",
+]

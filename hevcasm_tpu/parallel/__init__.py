@@ -1,0 +1,13 @@
+from .sharding import (
+    make_mesh,
+    encode_p_frames_batch,
+    encode_gop_data_parallel,
+    encode_inter_frame_spatial,
+)
+
+__all__ = [
+    "make_mesh",
+    "encode_p_frames_batch",
+    "encode_gop_data_parallel",
+    "encode_inter_frame_spatial",
+]

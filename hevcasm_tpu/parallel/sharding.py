@@ -1,0 +1,155 @@
+"""Multi-chip sharding of the encode loop (SURVEY.md section 2.3: greenfield
+components mandated by BASELINE configs 4-5; the reference has no parallelism
+of any kind).
+
+Two axes:
+
+* ``frames`` (data parallel): open-loop IPPP makes every P frame depend only
+  on source frames, so a GOP's P frames shard perfectly across chips; XLA/
+  GSPMD partitions the vmapped per-frame program with no communication except
+  final reductions.
+
+* ``rows`` (spatial): a frame's CTU-row bands shard across chips; each band
+  needs a halo of (search_range + filter pad) reference rows from its
+  neighbours, exchanged with jax.lax.ppermute inside shard_map — the video
+  analogue of ring/context-parallel neighbour exchange.  The result is
+  bit-identical to the single-chip encode (verified in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..encode import ctu as ctu_mod
+from ..encode import motion
+from ..encode.loop import EncodeConfig, encode_inter_frame, _residual_pipeline
+from ..utils.psnr import psnr
+
+__all__ = [
+    "make_mesh",
+    "encode_p_frames_batch",
+    "encode_gop_data_parallel",
+    "encode_inter_frame_spatial",
+]
+
+
+def make_mesh(frames: int = 1, rows: int = 1, devices=None) -> Mesh:
+    """A (frames, rows) device mesh.  frames*rows must equal the device count
+    used; axis names: 'frames' (dp over GOP frames), 'rows' (spatial)."""
+    if devices is None:
+        devices = jax.devices()[: frames * rows]
+    dev = np.asarray(devices).reshape(frames, rows)
+    return Mesh(dev, axis_names=("frames", "rows"))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_p_frames_batch(curs: jnp.ndarray, refs: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
+    """vmap of encode_inter_frame over a leading frame axis: (T, H, W) x 2.
+
+    Shard the leading axis over the 'frames' mesh axis (device_put with
+    NamedSharding) and GSPMD partitions the whole program data-parallel."""
+    fn = functools.partial(encode_inter_frame, cfg=cfg)
+    return jax.vmap(fn)(curs, refs)
+
+
+def encode_gop_data_parallel(frames: jnp.ndarray, mesh: Mesh, cfg: EncodeConfig = EncodeConfig()):
+    """BASELINE config 4: IPPP GOP with P frames sharded over mesh axis
+    'frames'.  frames: (T, H, W) with (T-1) divisible by the axis size."""
+    curs, refs = frames[1:], frames[:-1]
+    sh = NamedSharding(mesh, P("frames", None, None))
+    curs = jax.device_put(curs, sh)
+    refs = jax.device_put(refs, sh)
+    return encode_p_frames_batch(curs, refs, cfg)
+
+
+def _exchange_halo(band: jnp.ndarray, top: int, bottom: int, axis: str) -> jnp.ndarray:
+    """Concatenate ppermute-received neighbour rows above/below a band.
+
+    Edge devices replicate their own edge rows, matching the single-chip
+    pad_frame(mode='edge') semantics exactly.
+    """
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    if n == 1:
+        top_rows = jnp.repeat(band[:1], top, axis=0)
+        bot_rows = jnp.repeat(band[-1:], bottom, axis=0)
+        return jnp.concatenate([top_rows, band, bot_rows], axis=0)
+
+    # My top halo = bottom `top` rows of device idx-1 (shift downward).
+    from_above = jax.lax.ppermute(
+        band[-top:], axis, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    # My bottom halo = top `bottom` rows of device idx+1 (shift upward).
+    from_below = jax.lax.ppermute(
+        band[:bottom], axis, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    # Edge replication where no neighbour exists.
+    top_edge = jnp.repeat(band[:1], top, axis=0)
+    bot_edge = jnp.repeat(band[-1:], bottom, axis=0)
+    top_rows = jnp.where((idx == 0), top_edge, from_above)
+    bot_rows = jnp.where((idx == n - 1), bot_edge, from_below)
+    return jnp.concatenate([top_rows, band, bot_rows], axis=0)
+
+
+def encode_inter_frame_spatial(
+    cur: jnp.ndarray, ref: jnp.ndarray, mesh: Mesh, cfg: EncodeConfig = EncodeConfig()
+):
+    """BASELINE config 5 core: one inter frame with CTU-row bands sharded
+    over mesh axis 'rows', reference-window halos exchanged via ppermute.
+
+    cur, ref: (H, W); H must split into mesh.shape['rows'] bands of whole
+    CTUs.  Returns {recon (H, W), psnr_db, sad, nnz}; recon is bit-identical
+    to encode_inter_frame on one chip.
+    """
+    h, w = cur.shape
+    nrows = mesh.shape["rows"]
+    band_h = h // nrows
+    assert band_h * nrows == h and band_h % cfg.ctu == 0
+    r = cfg.search_range
+    halo_t, halo_b = r + motion.PAD_L, r + motion.PAD_R
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None), P("rows", None)),
+        out_specs={
+            "recon": P("rows", None),
+            "sad": P("rows"),
+            "nnz": P(),
+            "psnr_db": P(),
+        },
+        check_vma=False,
+    )
+    def step(cur_band, ref_band):
+        cur_band = cur_band.reshape(band_h, w)
+        ref_band = ref_band.reshape(band_h, w)
+        # Vertical halo via neighbour exchange; horizontal via local edge pad.
+        ref_v = _exchange_halo(ref_band, halo_t, halo_b, "rows")
+        ref_padded = ctu_mod.pad_frame(ref_v, 0, 0, halo_t, halo_b)
+
+        gr, gc = ctu_mod.grid_shape(band_h, w, cfg.ctu)
+        src_ctus = ctu_mod.tile_frame(cur_band, cfg.ctu)
+        pos = motion.ctu_positions(gr, gc, cfg.ctu)
+        mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r)
+        pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+        rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
+        recon = ctu_mod.untile_frame(rec_ctus, band_h, w)
+        d = cur_band.astype(jnp.float32) - recon.astype(jnp.float32)
+        sse = jax.lax.psum(jnp.sum(d * d), "rows")
+        mse = sse / (h * w)
+        frame_psnr = 10.0 * jnp.log10(255.0 * 255.0 / jnp.maximum(mse, 1e-10))
+        return {
+            "recon": recon,
+            "sad": best_sad,
+            "nnz": jax.lax.psum(nnz, "rows"),
+            "psnr_db": frame_psnr,
+        }
+
+    return jax.jit(step)(cur, ref)

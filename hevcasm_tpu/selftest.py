@@ -1,0 +1,262 @@
+"""Self-test + micro-benchmark driver: the analogue of hevcasm_main
+(/root/reference/src/lib/hevcasm.c:152-186) and the generic harness
+hevcasm_test (/root/reference/src/lib/hevcasm_test.c:110-137).
+
+For every kernel suite, for every shape in its sweep, the REF tier produces
+the golden output; every other enabled tier is run on the same fixtures,
+compared bit-exactly, and timed.  Prints per-line results in the style of the
+reference ("TIER:time(xSpeedup)", "-MISMATCH") and returns the total error
+count (the reference's process exit code, hevcasm.c:183-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+
+from . import registry
+from .config import Tier
+from .utils.timing import time_fn
+
+_SEED = 0x48455643
+
+
+@dataclasses.dataclass
+class Case:
+    """One (shape, args) instance of a suite: fixture arrays + call args."""
+
+    name: str
+    args: tuple
+    iters: int = 10
+
+
+@dataclasses.dataclass
+class Suite:
+    """A kernel family: op name + sweep of cases (cf. hevcasm_test_sad)."""
+
+    op: str
+    cases: Callable[[np.random.Generator], Sequence[Case]]
+
+
+def _as_np(out):
+    return [np.asarray(o) for o in jax.tree.leaves(out)]
+
+
+def run_suite(suite: Suite, mask: Tier = Tier.ALL, verbose: bool = True, time_it: bool = True) -> int:
+    errors = 0
+    rng = np.random.default_rng(_SEED)
+    ref_fn = registry.get_tier(suite.op, Tier.REF)
+    if ref_fn is None:
+        if verbose:
+            print(f"{suite.op}: no REF tier registered")
+        return 1
+    if verbose:
+        print(f"\n{suite.op}")
+    for case in suite.cases(rng):
+        golden = _as_np(ref_fn(*case.args))
+        line = f"  {case.name}: "
+        t_ref = None
+        for tier in (Tier.REF, Tier.JIT, Tier.PALLAS):
+            if not (mask & tier):
+                continue
+            fn = registry.get_tier(suite.op, tier)
+            if fn is None:
+                continue
+            try:
+                out = _as_np(fn(*case.args))
+            except Exception as e:  # noqa: BLE001 - report, count, continue
+                line += f"{tier.name}:ERROR({type(e).__name__}) "
+                errors += 1
+                continue
+            mismatch = any(
+                not np.array_equal(a, b) for a, b in zip(golden, out)
+            ) or len(golden) != len(out)
+            if time_it:
+                t = time_fn(fn, *case.args, iters=case.iters)
+                if tier is Tier.REF:
+                    t_ref = t
+                speed = f"(x{t_ref / t:.2f})" if (t_ref and t > 0) else ""
+                line += f"{tier.name}:{t * 1e6:.0f}us{speed} "
+            else:
+                line += f"{tier.name}:ok "
+            if mismatch:
+                line += "-MISMATCH "
+                errors += 1
+        if verbose:
+            print(line)
+    return errors
+
+
+# ---------------------------------------------------------------------------
+# Suite definitions: fixtures mirror the reference's test functions.
+
+PARTITIONS = [  # sad.c:231-240
+    (64, 64), (64, 48), (64, 32), (64, 16), (48, 64),
+    (32, 64), (32, 32), (32, 24), (32, 16), (32, 8), (24, 32),
+    (16, 64), (16, 32), (16, 16), (16, 12), (16, 8), (16, 4), (12, 16),
+    (8, 32), (8, 16), (8, 8), (8, 4), (4, 8),
+]
+
+
+def _sad_cases(rng):
+    src = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    ref = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    return [
+        Case(f"{w}x{h}", (src[:h, :w], ref[1 : 1 + h, 1 : 1 + w]))
+        for (w, h) in PARTITIONS
+    ]
+
+
+def _sad_multiref_cases(rng):
+    src = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    ref = rng.integers(0, 256, (4, 128, 128), dtype=np.uint8)
+    return [
+        Case(f"4-way {w}x{h}", (src[:h, :w], ref[:, : h, : w]))
+        for (w, h) in PARTITIONS
+    ]
+
+
+def _sad_grid_cases(rng):
+    cases = []
+    for (w, h, r) in [(64, 64, 8), (32, 32, 16)]:
+        src = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        win = rng.integers(0, 256, (h + 2 * r, w + 2 * r), dtype=np.uint8)
+        cases.append(Case(f"{w}x{h} +-{r}", (src, win, 2 * r + 1, 2 * r + 1)))
+    return cases
+
+
+def _ssd_cases(rng):
+    a = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    b = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    return [Case(f"{n}x{n}", (a[:n, :n], b[:n, :n])) for n in (4, 8, 16, 32, 64)]
+
+
+def _ssd_linear_cases(rng):
+    a = rng.integers(0, 256, (0x200,), dtype=np.uint8)
+    b = rng.integers(0, 256, (0x200,), dtype=np.uint8)
+    return [Case("0x200", (a, b))]
+
+
+def _satd_cases(rng):
+    cases = []
+    for n in (8, 4, 2):
+        a = rng.integers(0, 256, (n, n), dtype=np.uint8)
+        b = rng.integers(0, 256, (n, n), dtype=np.uint8)
+        cases.append(Case(f"{n}x{n}", (a, b)))
+    return cases
+
+
+def _quantize_cases(rng):
+    cases = []
+    for log2 in (2, 3, 4, 5):
+        n = 1 << log2
+        src = rng.integers(-32768, 32768, (n, n)).astype(np.int16)
+        cases.append(Case(f"{n}x{n}", (src, 51, 20, 14)))
+    return cases
+
+
+def _quantize_inverse_cases(rng):
+    cases = []
+    for log2 in (2, 3, 4, 5):
+        n = 1 << log2
+        src = (rng.integers(0, 256, (n, n)) - 0x100).astype(np.int16)
+        cases.append(Case(f"{n}x{n}", (src, 51, 14)))
+    return cases
+
+
+def _reconstruct_cases(rng):
+    cases = []
+    for log2 in (2, 3, 4, 5):
+        n = 1 << log2
+        pred = rng.integers(0, 256, (n, n), dtype=np.uint8)
+        res = (rng.integers(0, 0x200, (n, n)) - 0x100).astype(np.int16)
+        cases.append(Case(f"{n}x{n}", (pred, res)))
+    return cases
+
+
+def _transform_cases(rng):
+    cases = []
+    for j, (n, tr) in enumerate([(4, 1), (4, 0), (8, 0), (16, 0), (32, 0)]):
+        src = (rng.integers(0, 0x200, (n, n)) - 0x100).astype(np.int16)
+        cases.append(Case(f"{'sine' if tr else 'cosine'} {n}x{n}", (src, tr)))
+    return cases
+
+
+def _inverse_transform_add_cases(rng):
+    cases = []
+    for (n, tr) in [(4, 1), (4, 0), (8, 0), (16, 0), (32, 0)]:
+        coeffs = rng.integers(0, 0x10000, (n, n)).astype(np.uint16).astype(np.int16)
+        pred = rng.integers(0, 256, (n, n), dtype=np.uint8)
+        cases.append(Case(f"{'sine' if tr else 'cosine'} {n}x{n}", (coeffs, pred, tr)))
+    return cases
+
+
+def _pred_uni_cases(rng):
+    cases = []
+    for taps in (8, 4):
+        for (w, h) in [(64, 64), (32, 16), (16, 16), (8, 4)]:
+            w, h = w * taps // 8, h * taps // 8
+            win = rng.integers(0, 256, (h + taps - 1, w + taps - 1), dtype=np.uint8)
+            for (xf, yf) in [(0, 0), (1, 0), (0, 1), (2, 3)]:
+                cases.append(
+                    Case(f"{taps}tap {w}x{h} ({xf},{yf})", (win, xf, yf, taps))
+                )
+    return cases
+
+
+def _pred_bi_cases(rng):
+    cases = []
+    for taps in (8, 4):
+        w = h = 32 * taps // 8
+        w0 = rng.integers(0, 256, (h + taps - 1, w + taps - 1), dtype=np.uint8)
+        w1 = rng.integers(0, 256, (h + taps - 1, w + taps - 1), dtype=np.uint8)
+        for fr in [(0, 0, 0, 0), (1, 2, 3, 1)]:
+            cases.append(Case(f"{taps}tap {w}x{h} {fr}", (w0, w1, *fr, taps)))
+    return cases
+
+
+def _pred_intra_cases(rng):
+    cases = []
+    for n in (4, 8, 16, 32):
+        left = rng.integers(0, 256, (2 * n,), dtype=np.uint8)
+        above = rng.integers(0, 256, (2 * n,), dtype=np.uint8)
+        corner = np.uint8(rng.integers(0, 256))
+        for mode in (0, 1, 10, 26, 2, 18, 34, 23):
+            cases.append(Case(f"mode{mode} {n}x{n}", (mode, left, above, corner, n)))
+    return cases
+
+
+SUITES = [
+    Suite("sad_multiref", _sad_multiref_cases),
+    Suite("sad", _sad_cases),
+    Suite("sad_grid", _sad_grid_cases),
+    Suite("ssd", _ssd_cases),
+    Suite("ssd_linear", _ssd_linear_cases),
+    Suite("pred_intra", _pred_intra_cases),
+    Suite("satd", _satd_cases),
+    Suite("quantize_inverse", _quantize_inverse_cases),
+    Suite("quantize", _quantize_cases),
+    Suite("reconstruct", _reconstruct_cases),
+    Suite("pred_uni", _pred_uni_cases),
+    Suite("pred_bi", _pred_bi_cases),
+    Suite("inverse_transform_add", _inverse_transform_add_cases),
+    Suite("forward_transform", _transform_cases),
+]
+
+
+def main(mask: Tier = Tier.ALL, time_it: bool = True) -> int:
+    """Run all suites (the order mirrors hevcasm.c:169-180); returns the
+    total error count."""
+    print(f"hevcasm_tpu self test (devices: {jax.devices()})")
+    errors = 0
+    for suite in SUITES:
+        errors += run_suite(suite, mask, time_it=time_it)
+    print(f"\n{errors} errors" if errors else "\nself test passed")
+    return errors
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
