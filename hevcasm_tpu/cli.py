@@ -26,7 +26,8 @@ def _cmd_selftest(args):
                 valid = ", ".join(m.name.lower() for m in (Tier.REF, Tier.JIT, Tier.PALLAS))
                 print(f"error: unknown tier '{t}' (valid: {valid})", file=sys.stderr)
                 return 2
-    return selftest.main(mask=mask, time_it=not args.no_time)
+    suites = args.suites.split(",") if getattr(args, "suites", None) else None
+    return selftest.main(mask=mask, time_it=not args.no_time, suites=suites)
 
 
 def _cmd_encode(args):
@@ -70,6 +71,7 @@ def main(argv=None):
 
     st = sub.add_parser("selftest", help="kernel self-test + micro-benchmarks")
     st.add_argument("--tiers", help="comma list: ref,jit,pallas (default all)")
+    st.add_argument("--suites", help="comma list of suite names (default all)")
     st.add_argument("--no-time", action="store_true")
 
     enc = sub.add_parser("encode", help="encode a synthetic GOP")

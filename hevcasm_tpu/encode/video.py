@@ -1,0 +1,249 @@
+"""Full-video (4:2:0) encoding: luma + chroma planes, B frames with
+bi-prediction, and closed-loop (reconstructed-reference) GOP encoding.
+
+This is the layer a real consumer of the reference library would have had to
+write around its kernels (SURVEY.md section 0): the reference ships 4-tap
+chroma MC (pred_inter.c:69-79) and bi-pred combining (pred_inter.c:490-530)
+but no frame pipeline.  Here:
+
+* Chroma MVs follow HEVC semantics: the luma quarter-pel MV applied at
+  chroma resolution becomes an eighth-pel MV (integer = mv >> 3,
+  frac = mv & 7) driving the 4-tap kernels.
+* Chroma qp derives from luma qp via the normative 4:2:0 mapping
+  (H.265 table 8-10).
+* B frames bi-predict from two reference frames: independent full search on
+  each, then the fused (r0 + r1 + 64) >> 7 combining mean.
+* Closed-loop mode chains each P frame off the previous *reconstruction*
+  inside one lax.scan-compiled program, the structure a conforming encoder
+  needs (and what bench.py measures).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pred_inter import pred_uni, pred_uni_16
+from ..utils.psnr import psnr
+from . import ctu as ctu_mod
+from . import motion
+from .loop import EncodeConfig, _residual_pipeline, encode_intra_frame
+
+__all__ = ["YuvFrame", "chroma_qp", "encode_inter_frame_yuv", "encode_gop_yuv", "encode_gop_closed_loop"]
+
+
+class YuvFrame(NamedTuple):
+    """4:2:0 planes: y (H, W), cb/cr (H/2, W/2); leading batch dims allowed."""
+
+    y: jnp.ndarray
+    cb: jnp.ndarray
+    cr: jnp.ndarray
+
+
+# H.265 table 8-10: qPc as a function of qPi for 4:2:0.
+_QPC = {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33, 36: 34, 37: 34,
+        38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37}
+
+
+def chroma_qp(qp: int) -> int:
+    if qp < 30:
+        return qp
+    if qp > 43:
+        return qp - 6
+    return _QPC[qp]
+
+
+def _chroma_cfg(cfg: EncodeConfig) -> EncodeConfig:
+    return dataclasses.replace(
+        cfg, qp=chroma_qp(cfg.qp), tu=4, ctu=cfg.ctu // 2,
+        search_range=cfg.search_range // 2,
+    )
+
+
+def _chroma_mc(plane: jnp.ndarray, mv_qpel: jnp.ndarray, cfg: EncodeConfig):
+    """Motion-compensate one chroma plane with the luma quarter-pel MVs.
+
+    plane: (H/2, W/2) reference chroma; mv_qpel (n, 2) luma quarter-pel MVs
+    (one per 64x64 luma CTU == one per 32x32 chroma block).
+    Returns (n, ctu/2, ctu/2) uint8 predictions.
+    """
+    taps = 4
+    b = cfg.ctu // 2
+    rc = cfg.search_range // 2 + 1  # chroma integer-pel reach (+1 for mv>>3 rounding)
+    pad_l, pad_r = taps // 2 - 1, taps // 2  # 1, 2
+    h2, w2 = plane.shape
+    padded = ctu_mod.pad_frame(plane, rc + pad_l, rc + pad_r + 1, rc + pad_l, rc + pad_r + 1)
+    gr, gc = h2 // b, w2 // b
+    pos = motion.ctu_positions(gr, gc, b)
+    # Chroma MV in eighth-pel at chroma resolution == luma qpel value.
+    mv_int = mv_qpel >> 3              # arithmetic: floor division by 8
+    frac = mv_qpel & 7                 # (n, 2) in [0, 8)
+    start = pos + mv_int + rc          # window top-left in padded coords
+    win = motion.extract_windows(padded, start, b + taps - 1)
+    return pred_uni(win, frac[:, 1], frac[:, 0], taps)
+
+
+def _chroma_residual(cur_plane, pred_blocks, cfg: EncodeConfig, intra: bool):
+    ccfg = _chroma_cfg(cfg)
+    src_blocks = ctu_mod.tile_frame(cur_plane, ccfg.ctu)
+    rec, nnz, _ = _residual_pipeline(src_blocks, pred_blocks, ccfg, intra)
+    return ctu_mod.untile_frame(rec, *cur_plane.shape), nnz
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_inter_frame_yuv(cur: YuvFrame, ref: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
+    """One P frame over 4:2:0 planes: luma ME + MC, chroma MC from luma MVs,
+    full residual pipelines on all three planes."""
+    h, w = cur.y.shape
+    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur.y, cfg.ctu)
+    r = cfg.search_range
+    ref_padded = ctu_mod.pad_frame(ref.y, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R)
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    mv_int, best = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn)
+    pred_y, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+
+    rec_y_ctus, nnz_y, _ = _residual_pipeline(src_ctus, pred_y, cfg, intra=False)
+    rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
+
+    pred_cb = _chroma_mc(ref.cb, mv_qpel, cfg)
+    pred_cr = _chroma_mc(ref.cr, mv_qpel, cfg)
+    rec_cb, nnz_cb = _chroma_residual(cur.cb, pred_cb, cfg, intra=False)
+    rec_cr, nnz_cr = _chroma_residual(cur.cr, pred_cr, cfg, intra=False)
+
+    return {
+        "recon": YuvFrame(rec_y, rec_cb, rec_cr),
+        "mvs": mv_qpel,
+        "nnz": nnz_y + nnz_cb + nnz_cr,
+        "psnr_y": psnr(cur.y, rec_y),
+        "psnr_cb": psnr(cur.cb, rec_cb),
+        "psnr_cr": psnr(cur.cr, rec_cr),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
+    """One B frame: independent integer full search against both references,
+    quarter-pel refinement of each, then the fused bi-pred combining mean
+    (r0 + r1 + 64) >> 7 — the hevcasm_pred_bi contract (pred_inter.c:490-530).
+    Chroma bi-predicts with the same MV pair."""
+    h, w = cur.y.shape
+    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur.y, cfg.ctu)
+    r = cfg.search_range
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+
+    mvs, preds16, wins = [], [], []
+    for ref in (ref0, ref1):
+        rp = ctu_mod.pad_frame(ref.y, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R)
+        mv_int, _ = motion.full_search(src_ctus, rp, pos, r, grid_fn=grid_fn)
+        _, mv_qpel, win = motion.refine_quarter_pel(src_ctus, rp, pos, mv_int, r)
+        frac = mv_qpel & 3
+        p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
+        mvs.append(mv_qpel)
+        preds16.append(p16.astype(jnp.int32))
+
+    pred_y = jnp.clip((preds16[0] + preds16[1] + 64) >> 7, 0, 255).astype(jnp.uint8)
+    rec_y_ctus, nnz_y, _ = _residual_pipeline(src_ctus, pred_y, cfg, intra=False)
+    rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
+
+    def chroma_bi(plane0, plane1, mv0, mv1, cur_plane):
+        p0 = _chroma_mc(plane0, mv0, cfg).astype(jnp.int32)
+        p1 = _chroma_mc(plane1, mv1, cfg).astype(jnp.int32)
+        # Encoder choice: round each uni prediction to 8 bits, then average
+        # with rounding (pavgb semantics, pred_inter_a.asm:580-608).  The
+        # reference's 16-bit-intermediate bi path is available as ops.pred_bi
+        # for callers that need its exact arithmetic.
+        pred = ((p0 + p1 + 1) >> 1).astype(jnp.uint8)
+        return _chroma_residual(cur_plane, pred, cfg, intra=False)
+
+    rec_cb, nnz_cb = chroma_bi(ref0.cb, ref1.cb, mvs[0], mvs[1], cur.cb)
+    rec_cr, nnz_cr = chroma_bi(ref0.cr, ref1.cr, mvs[0], mvs[1], cur.cr)
+
+    return {
+        "recon": YuvFrame(rec_y, rec_cb, rec_cr),
+        "mvs0": mvs[0],
+        "mvs1": mvs[1],
+        "nnz": nnz_y + nnz_cb + nnz_cr,
+        "psnr_y": psnr(cur.y, rec_y),
+    }
+
+
+def encode_intra_frame_yuv(cur: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
+    """I frame: luma 35-mode intra; chroma uses the TU pipeline against a DC
+    (flat-mean) prediction per block."""
+    out_y = encode_intra_frame(cur.y, cfg)
+
+    def chroma_plane(plane):
+        ccfg = _chroma_cfg(cfg)
+        blocks = ctu_mod.tile_frame(plane, ccfg.ctu)
+        dc = jnp.mean(blocks.astype(jnp.float32), axis=(-2, -1))
+        pred = jnp.broadcast_to(
+            jnp.round(dc).astype(jnp.uint8)[:, None, None], blocks.shape
+        )
+        rec, nnz, _ = _residual_pipeline(blocks, pred, ccfg, intra=True)
+        return ctu_mod.untile_frame(rec, *plane.shape), nnz
+
+    rec_cb, nnz_cb = chroma_plane(cur.cb)
+    rec_cr, nnz_cr = chroma_plane(cur.cr)
+    return {
+        "recon": YuvFrame(out_y["recon"], rec_cb, rec_cr),
+        "nnz": out_y["nnz"] + nnz_cb + nnz_cr,
+        "psnr_y": out_y["psnr_db"],
+    }
+
+
+def encode_gop_yuv(frames: YuvFrame, cfg: EncodeConfig = EncodeConfig(), b_frames: bool = False):
+    """Encode a 4:2:0 GOP.  frames: YuvFrame with leading time axis.
+
+    b_frames=False: IPPP (open loop, frames independent given sources).
+    b_frames=True:  IBPBP...: odd frames are B, bi-predicted from the
+    surrounding even frames (sources).
+    """
+    t_total = frames.y.shape[0]
+
+    def frame_at(t):
+        return YuvFrame(frames.y[t], frames.cb[t], frames.cr[t])
+
+    results = [encode_intra_frame_yuv(frame_at(0), cfg)]
+    for t in range(1, t_total):
+        if b_frames and t % 2 == 1 and t + 1 < t_total:
+            results.append(encode_b_frame_yuv(frame_at(t), frame_at(t - 1), frame_at(t + 1), cfg))
+        else:
+            results.append(encode_inter_frame_yuv(frame_at(t), frame_at(t - 1), cfg))
+    rec = YuvFrame(
+        jnp.stack([r["recon"].y for r in results]),
+        jnp.stack([r["recon"].cb for r in results]),
+        jnp.stack([r["recon"].cr for r in results]),
+    )
+    return {
+        "recon": rec,
+        "psnr_y": psnr(frames.y, rec.y),
+        "nnz": sum(int(r["nnz"]) for r in results),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def encode_gop_closed_loop(frames_y: jnp.ndarray, cfg: EncodeConfig, num_frames: int):
+    """Closed-loop IPPP luma GOP as ONE compiled program: each P frame is
+    predicted from the previous frame's *reconstruction* (lax.scan), which is
+    what a conforming encoder must do to avoid encoder/decoder drift.
+
+    frames_y: (T, H, W) uint8 with T == num_frames.
+    Returns recon stack (T-1 P frames) + per-frame psnr.
+    """
+    from .loop import encode_inter_frame
+
+    def body(prev_recon, cur):
+        out = encode_inter_frame(cur, prev_recon, cfg)
+        return out["recon"], (out["recon"], out["psnr_db"])
+
+    _, (recs, psnrs) = jax.lax.scan(body, frames_y[0], frames_y[1:num_frames])
+    return {"recon": recs, "psnr_db": psnrs}

@@ -51,10 +51,10 @@ def run_suite(suite: Suite, mask: Tier = Tier.ALL, verbose: bool = True, time_it
     ref_fn = registry.get_tier(suite.op, Tier.REF)
     if ref_fn is None:
         if verbose:
-            print(f"{suite.op}: no REF tier registered")
+            print(f"{suite.op}: no REF tier registered", flush=True)
         return 1
     if verbose:
-        print(f"\n{suite.op}")
+        print(f"\n{suite.op}", flush=True)
     for case in suite.cases(rng):
         golden = _as_np(ref_fn(*case.args))
         line = f"  {case.name}: "
@@ -86,7 +86,7 @@ def run_suite(suite: Suite, mask: Tier = Tier.ALL, verbose: bool = True, time_it
                 line += "-MISMATCH "
                 errors += 1
         if verbose:
-            print(line)
+            print(line, flush=True)
     return errors
 
 
@@ -247,14 +247,16 @@ SUITES = [
 ]
 
 
-def main(mask: Tier = Tier.ALL, time_it: bool = True) -> int:
-    """Run all suites (the order mirrors hevcasm.c:169-180); returns the
-    total error count."""
-    print(f"hevcasm_tpu self test (devices: {jax.devices()})")
+def main(mask: Tier = Tier.ALL, time_it: bool = True, suites: list[str] | None = None) -> int:
+    """Run all (or the named) suites, order mirroring hevcasm.c:169-180;
+    returns the total error count."""
+    print(f"hevcasm_tpu self test (devices: {jax.devices()})", flush=True)
     errors = 0
     for suite in SUITES:
+        if suites and suite.op not in suites:
+            continue
         errors += run_suite(suite, mask, time_it=time_it)
-    print(f"\n{errors} errors" if errors else "\nself test passed")
+    print(f"\n{errors} errors" if errors else "\nself test passed", flush=True)
     return errors
 
 

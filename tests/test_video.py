@@ -1,0 +1,95 @@
+"""4:2:0 video pipeline: chroma MC from luma MVs, B frames, closed loop."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hevcasm_tpu.encode import EncodeConfig
+from hevcasm_tpu.encode.video import (
+    YuvFrame,
+    chroma_qp,
+    encode_inter_frame_yuv,
+    encode_b_frame_yuv,
+    encode_intra_frame_yuv,
+    encode_gop_yuv,
+    encode_gop_closed_loop,
+)
+
+
+def _smooth(rng, h, w):
+    a = rng.integers(0, 256, (h, w)).astype(np.float32)
+    for _ in range(2):
+        a = (np.roll(a, 1, 0) + a + np.roll(a, -1, 0)) / 3
+        a = (np.roll(a, 1, 1) + a + np.roll(a, -1, 1)) / 3
+    return np.clip(a, 0, 255).astype(np.uint8)
+
+
+def _yuv_clip(rng, t, h, w, dy=2, dx=4):
+    ybase = _smooth(rng, h + 2 * t * dy + 8, w + 2 * t * dx + 8)
+    cbase = _smooth(rng, (h + 2 * t * dy + 8) // 2, (w + 2 * t * dx + 8) // 2)
+    crbase = _smooth(rng, (h + 2 * t * dy + 8) // 2, (w + 2 * t * dx + 8) // 2)
+    ys, cbs, crs = [], [], []
+    for i in range(t):
+        ys.append(ybase[i * dy : i * dy + h, i * dx : i * dx + w])
+        # chroma pans at half rate (consistent with 4:2:0 subsampling)
+        cbs.append(cbase[i * dy // 2 : i * dy // 2 + h // 2, i * dx // 2 : i * dx // 2 + w // 2])
+        crs.append(crbase[i * dy // 2 : i * dy // 2 + h // 2, i * dx // 2 : i * dx // 2 + w // 2])
+    return YuvFrame(jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(cbs)), jnp.asarray(np.stack(crs)))
+
+
+def test_chroma_qp_table():
+    assert chroma_qp(20) == 20
+    assert chroma_qp(30) == 29
+    assert chroma_qp(37) == 34
+    assert chroma_qp(43) == 37
+    assert chroma_qp(51) == 45
+
+
+def test_inter_frame_yuv(rng):
+    clip = _yuv_clip(rng, 2, 128, 128)
+    cfg = EncodeConfig(search_range=8, qp=27)
+    cur = YuvFrame(clip.y[1], clip.cb[1], clip.cr[1])
+    ref = YuvFrame(clip.y[0], clip.cb[0], clip.cr[0])
+    out = encode_inter_frame_yuv(cur, ref, cfg)
+    assert out["recon"].y.shape == (128, 128)
+    assert out["recon"].cb.shape == (64, 64)
+    assert float(out["psnr_y"]) > 38.0
+    assert float(out["psnr_cb"]) > 35.0
+    assert float(out["psnr_cr"]) > 35.0
+
+
+def test_b_frame_yuv(rng):
+    clip = _yuv_clip(rng, 3, 128, 128)
+    cfg = EncodeConfig(search_range=8, qp=27)
+    cur = YuvFrame(clip.y[1], clip.cb[1], clip.cr[1])
+    r0 = YuvFrame(clip.y[0], clip.cb[0], clip.cr[0])
+    r1 = YuvFrame(clip.y[2], clip.cb[2], clip.cr[2])
+    out = encode_b_frame_yuv(cur, r0, r1, cfg)
+    assert float(out["psnr_y"]) > 38.0
+
+
+def test_intra_frame_yuv(rng):
+    clip = _yuv_clip(rng, 1, 128, 128)
+    cfg = EncodeConfig(qp=27)
+    out = encode_intra_frame_yuv(YuvFrame(clip.y[0], clip.cb[0], clip.cr[0]), cfg)
+    assert float(out["psnr_y"]) > 30.0
+    assert out["recon"].cb.shape == (64, 64)
+
+
+@pytest.mark.parametrize("b_frames", [False, True])
+def test_gop_yuv(rng, b_frames):
+    clip = _yuv_clip(rng, 4, 128, 128)
+    cfg = EncodeConfig(search_range=8, qp=27)
+    out = encode_gop_yuv(clip, cfg, b_frames=b_frames)
+    assert out["recon"].y.shape == clip.y.shape
+    assert float(out["psnr_y"]) > 33.0
+
+
+def test_closed_loop_gop(rng):
+    clip = _yuv_clip(rng, 4, 128, 128)
+    cfg = EncodeConfig(search_range=8, qp=27)
+    out = encode_gop_closed_loop(clip.y, cfg, 4)
+    assert out["recon"].shape == (3, 128, 128)
+    # closed-loop quality should not collapse over the chain
+    psnrs = np.asarray(out["psnr_db"])
+    assert psnrs.min() > 35.0
