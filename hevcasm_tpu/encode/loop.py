@@ -52,6 +52,9 @@ class EncodeConfig:
     # faithful VPU path.  On x86 SAD is the cheap metric (psadbw); on TPU
     # the matmul-friendly SSD is — and it is the better distortion proxy.
     me_metric: str = "ssd"
+    # "full" = exhaustive +-R grid; "pyramid" = 2-level hierarchical search
+    # covering the same window at ~1/60 the arithmetic (motion.pyramid_search).
+    me_strategy: str = "full"
 
     @property
     def tu_log2(self) -> int:
@@ -109,7 +112,10 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
     pos = motion.ctu_positions(gr, gc, cfg.ctu)
 
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
-    mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn)
+    if cfg.me_strategy == "pyramid":
+        mv_int, best_sad = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
+    else:
+        mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
     pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
 
     rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)

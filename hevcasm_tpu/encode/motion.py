@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sad import sad, sad_grid
-from ..ops.pred_inter import pred_uni
 
 __all__ = [
     "ctu_positions",
@@ -67,12 +66,43 @@ def extract_windows(plane: jnp.ndarray, positions: jnp.ndarray, size: int) -> jn
     return jax.vmap(one)(positions)
 
 
+def extract_aligned_windows(
+    plane: jnp.ndarray, origin: tuple[int, int], grid: tuple[int, int], tile: int, size: int
+) -> jnp.ndarray:
+    """Window extraction for grid-aligned positions via pure reshapes.
+
+    Every search window of a CTU grid starts at origin + (r*tile, c*tile),
+    and when ``size`` is a multiple of ``tile`` the windows are stitchable
+    from a (size/tile)^2 neighbourhood of a single tiling of the plane —
+    no per-window dynamic-slice gather (which costs more than the SAD/SSD
+    arithmetic it feeds at production sizes).
+
+    Returns (grid_r * grid_c, size, size), bit-identical to extract_windows
+    at the same positions.
+    """
+    gr, gc = grid
+    k = size // tile
+    assert k * tile == size, "window size must be a multiple of the tile"
+    oy, ox = origin
+    a = jax.lax.slice(
+        plane, (oy, ox), (oy + (gr + k - 1) * tile, ox + (gc + k - 1) * tile)
+    )
+    t = a.reshape(gr + k - 1, tile, gc + k - 1, tile).transpose(0, 2, 1, 3)
+    rows = []
+    for dy in range(k):
+        cols = [t[dy : dy + gr, dx : dx + gc] for dx in range(k)]
+        rows.append(jnp.concatenate(cols, axis=-1))  # (gr, gc, tile, k*tile)
+    win = jnp.concatenate(rows, axis=-2)             # (gr, gc, size, size)
+    return win.reshape(gr * gc, size, size)
+
+
 def full_search(
     src_ctus: jnp.ndarray,
     ref_padded: jnp.ndarray,
     positions: jnp.ndarray,
     search_range: int,
     grid_fn=sad_grid,
+    grid: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Integer-pel full search.
 
@@ -81,6 +111,9 @@ def full_search(
                 (R + PAD_R) bottom/right (see pad amounts in loop.py).
     positions:  (n, 2) CTU pixel positions in unpadded coords.
     grid_fn:    sad_grid implementation (REF or a Pallas tier).
+    grid:       (rows, cols) of the CTU grid; when given and the window span
+                is tile-aligned, windows come from the reshape-based
+                extractor instead of per-CTU gathers.
 
     Returns (mvs, best_sad): mvs (n, 2) integer-pel [dy, dx] in [-R, R],
     best_sad (n,) int32.
@@ -88,14 +121,82 @@ def full_search(
     b = src_ctus.shape[-1]
     r = search_range
     num = 2 * r + 1
+    size = b + 2 * r
     # Search window top-left in padded coords: (y0 - R) + (R + PAD_L).
-    win = extract_windows(ref_padded, positions + PAD_L, b + 2 * r)
+    if grid is not None and size % b == 0:
+        win = extract_aligned_windows(ref_padded, (PAD_L, PAD_L), grid, b, size)
+    else:
+        win = extract_windows(ref_padded, positions + PAD_L, size)
     sads = grid_fn(src_ctus, win, num, num)  # (n, num, num)
     flat = sads.reshape(sads.shape[0], -1)
     best = jnp.argmin(flat, axis=-1).astype(jnp.int32)
     best_sad = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
     mv = jnp.stack([best // num - r, best % num - r], axis=-1)
     return mv, best_sad
+
+
+def _downsample4(x: jnp.ndarray) -> jnp.ndarray:
+    """4x box decimation with rounding over the trailing two axes."""
+    h, w = x.shape[-2] // 4, x.shape[-1] // 4
+    lead = x.shape[:-2]
+    v = x.astype(jnp.int32).reshape(*lead, h, 4, w, 4).sum(axis=(-3, -1))
+    return ((v + 8) >> 4).astype(jnp.uint8)
+
+
+def pyramid_search(
+    src_ctus: jnp.ndarray,
+    ref_plane: jnp.ndarray,
+    ref_padded: jnp.ndarray,
+    positions: jnp.ndarray,
+    search_range: int,
+    grid_fn=sad_grid,
+    fine_range: int = 3,
+    grid: tuple[int, int] | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level hierarchical integer search covering the same +-R window as
+    full_search at ~1/60 the arithmetic.
+
+    Level 0: 4x-decimated frame, full grid over +-R/4 (integer coarse MV).
+    Level 1: full resolution, +-fine_range grid around the upscaled coarse MV.
+
+    src_ctus:   (n, B, B); ref_plane (H, W) unpadded; ref_padded as produced
+    by pad_frame(ref, R+PAD_L, R+PAD_R, ...) — shared with the quarter-pel
+    refinement stage.  Returns (mv_int, best_score).
+    """
+    b = src_ctus.shape[-1]
+    r = search_range
+    rc = r // 4
+    bc = b // 4
+
+    # --- coarse level ------------------------------------------------------
+    src_c = _downsample4(src_ctus)                     # (n, B/4, B/4)
+    ref_c = _downsample4(ref_plane)                    # (H/4, W/4)
+    ref_c_pad = jnp.pad(
+        ref_c, ((rc, rc), (rc, rc)), mode="edge"
+    )
+    pos_c = positions // 4
+    if grid is not None and (bc + 2 * rc) % bc == 0:
+        win_c = extract_aligned_windows(ref_c_pad, (0, 0), grid, bc, bc + 2 * rc)
+    else:
+        win_c = extract_windows(ref_c_pad, pos_c, bc + 2 * rc)
+    num_c = 2 * rc + 1
+    sc = grid_fn(src_c, win_c, num_c, num_c)           # (n, num_c, num_c)
+    flat = sc.reshape(sc.shape[0], -1)
+    best_c = jnp.argmin(flat, axis=-1).astype(jnp.int32)
+    mv_c = jnp.stack([best_c // num_c - rc, best_c % num_c - rc], axis=-1) * 4
+
+    # --- fine level --------------------------------------------------------
+    f = fine_range
+    mv_c = jnp.clip(mv_c, -r + f, r - f)               # keep fine grid in range
+    start = positions + mv_c - f + (r + PAD_L)
+    win_f = extract_windows(ref_padded, start, b + 2 * f)
+    num_f = 2 * f + 1
+    sf = grid_fn(src_ctus, win_f, num_f, num_f)
+    flatf = sf.reshape(sf.shape[0], -1)
+    best_f = jnp.argmin(flatf, axis=-1).astype(jnp.int32)
+    best_score = jnp.take_along_axis(flatf, best_f[:, None], axis=-1)[:, 0]
+    mv = mv_c + jnp.stack([best_f // num_f - f, best_f % num_f - f], axis=-1)
+    return mv, best_score
 
 
 def refine_quarter_pel(
@@ -111,16 +212,28 @@ def refine_quarter_pel(
     pred:   (n, B, B) uint8 best interpolated prediction
     mv_qpel:(n, 2) motion vectors in quarter-pel units (mv_int*4 + frac)
     """
+    from ..ops.pred_inter import KERNEL8, _fir, _wrap16
+
     b = src_ctus.shape[-1]
     # Interp window top-left (unpadded): y0 + dy - PAD_L; padded offset
     # +(R + PAD_L) makes it y0 + dy + R >= 0.
     start = positions + mv_int + search_range
     win = extract_windows(ref_padded, start, b + TAPS - 1)  # (n, B+7, B+7)
 
+    # Share the horizontal FIR across the four vertical fractions: 4 H
+    # passes + 16 V passes instead of 16 of each.
+    win32 = win.astype(jnp.int32)
+    h_pass = [
+        _wrap16(_fir(win32, jnp.asarray(KERNEL8[xf]), axis=-1, out_len=b))
+        for xf in range(4)
+    ]  # each (n, B+7, B)
+
     preds, costs = [], []
     for yf in range(4):
+        cy = jnp.asarray(KERNEL8[yf])
         for xf in range(4):
-            p = pred_uni(win, xf, yf, TAPS)  # (n, B, B)
+            acc = _fir(h_pass[xf], cy, axis=-2, out_len=b)
+            p = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
             preds.append(p)
             costs.append(sad(src_ctus, p))
     preds = jnp.stack(preds, axis=1)         # (n, 16, B, B)

@@ -106,7 +106,7 @@ def encode_inter_frame_yuv(cur: YuvFrame, ref: YuvFrame, cfg: EncodeConfig = Enc
     pos = motion.ctu_positions(gr, gc, cfg.ctu)
 
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
-    mv_int, best = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn)
+    mv_int, best = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
     pred_y, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
 
     rec_y_ctus, nnz_y, _ = _residual_pipeline(src_ctus, pred_y, cfg, intra=False)
@@ -143,7 +143,7 @@ def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: Encod
     mvs, preds16, wins = [], [], []
     for ref in (ref0, ref1):
         rp = ctu_mod.pad_frame(ref.y, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R)
-        mv_int, _ = motion.full_search(src_ctus, rp, pos, r, grid_fn=grid_fn)
+        mv_int, _ = motion.full_search(src_ctus, rp, pos, r, grid_fn=grid_fn, grid=(gr, gc))
         _, mv_qpel, win = motion.refine_quarter_pel(src_ctus, rp, pos, mv_int, r)
         frac = mv_qpel & 3
         p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
