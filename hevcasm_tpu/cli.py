@@ -65,9 +65,28 @@ def _synthetic_video(rng, t, h, w):
     return np.clip(frames.astype(np.int16) + noise, 0, 255).astype(np.uint8)
 
 
+def _cmd_info(_args):
+    """Device + tier availability report: the analogue of
+    hevcasm_print_instruction_set_support (hevcasm.c:141-149)."""
+    import jax
+
+    from . import registry
+
+    print(f"jax {jax.__version__}, backend {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device: {d}")
+    print("\nop families and registered tiers:")
+    for op in registry.ops():
+        tiers = registry.tiers_of(op)
+        names = [t.name for t in (Tier.REF, Tier.JIT, Tier.PALLAS) if tiers & t]
+        print(f"  {op:24s} {' '.join(names)}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hevcasm_tpu")
     sub = p.add_subparsers(dest="cmd")
+    sub.add_parser("info", help="device + implementation-tier report")
 
     st = sub.add_parser("selftest", help="kernel self-test + micro-benchmarks")
     st.add_argument("--tiers", help="comma list: ref,jit,pallas (default all)")
@@ -82,6 +101,8 @@ def main(argv=None):
     enc.add_argument("--search-range", type=int, default=16)
 
     args = p.parse_args(argv)
+    if args.cmd == "info":
+        return _cmd_info(args)
     if args.cmd == "encode":
         return _cmd_encode(args)
     if args.cmd == "selftest" or args.cmd is None:

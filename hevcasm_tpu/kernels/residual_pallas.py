@@ -1,0 +1,134 @@
+"""Fused Pallas TPU kernel: the whole TU residual pipeline per CTU in one
+VMEM residency — residual, 8x8 forward DCT, quantize, dequantize, inverse
+DCT, add-to-predicted, clip.
+
+This is the Pallas analogue of the reference's residual path composition
+(SURVEY.md section 3.3: transform -> quantize -> quantize_inverse ->
+inverse_transform_add), which on x86 is four separate asm calls with HBM
+(well, cache) traffic between them; here a CTU makes exactly one trip
+HBM -> VMEM -> HBM.
+
+Key formulation: an 8x8 transform applied to each of the 64 TUs of a 64x64
+CTU equals a single 64x64 matmul with the block-diagonal constant
+BD = kron(I8, T8):  Y = BD @ X @ BD^T applies T8 per 8-row/8-col block.
+That turns 128 tiny 8x8 matmuls into two MXU-shaped 64x64 matmuls per pass.
+Integer exactness uses the hi/lo byte split (cf. kernels/xla_opt.py): each
+output accumulates <= 8 products of 7-bit x 8-bit values, far inside f32's
+exact range.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import registry
+from ..config import Tier
+from ..ops import transform as tr
+
+__all__ = ["residual_pipeline_ctu", "block_diag_t8"]
+
+
+def block_diag_t8() -> np.ndarray:
+    """kron(I8, T8): 64x64 block-diagonal 8-point HEVC matrix."""
+    t8 = tr.dct_matrix(8)
+    return np.kron(np.eye(8, dtype=np.int32), t8)
+
+
+def _mm(bd, x):  # bf16 matmul with f32 accumulation, x int32 exact via split
+    lo = jnp.bitwise_and(x, 255).astype(jnp.bfloat16)
+    hi = (x >> 8).astype(jnp.bfloat16)
+    yl = jnp.dot(bd, lo, preferred_element_type=jnp.float32)
+    yh = jnp.dot(bd, hi, preferred_element_type=jnp.float32)
+    return 256 * yh.astype(jnp.int32) + yl.astype(jnp.int32)
+
+
+def _mm_t(x, bd):  # x @ bd^T with the same exactness scheme
+    lo = jnp.bitwise_and(x, 255).astype(jnp.bfloat16)
+    hi = (x >> 8).astype(jnp.bfloat16)
+    yl = jnp.dot(lo, bd.T, preferred_element_type=jnp.float32)
+    yh = jnp.dot(hi, bd.T, preferred_element_type=jnp.float32)
+    return 256 * yh.astype(jnp.int32) + yl.astype(jnp.int32)
+
+
+def _wrap16(x):
+    return x.astype(jnp.int16).astype(jnp.int32)
+
+
+def _kernel(src_ref, pred_ref, bd_ref, out_ref, nnz_ref, *, qscale, qshift,
+            qoffset, dscale, dshift):
+    bd = bd_ref[...]
+    src = src_ref[0].astype(jnp.int32)
+    pred = pred_ref[0].astype(jnp.int32)
+    res = src - pred
+
+    # Forward DCT 8x8 per TU, transpose-free composite with the SAME
+    # rounding points as the reference's two butterfly passes
+    # (residual_decode.c:871-876): pass 1 contracts each TU's column index
+    # (res @ BD^T, the row transform), pass 2 its row index (BD @ s1), with
+    # int16 wrap between passes.
+    s1 = _wrap16((_mm_t(res, bd) + 2) >> 2)
+    coeffs = _wrap16((_mm(bd, s1) + 256) >> 9)
+
+    # Quantize (quantize.c:160-186) with static HM-style parameters.
+    sign = jnp.where(coeffs < 0, -1, 1)
+    q = ((jnp.abs(coeffs) * qscale + (qoffset << (qshift - 16))) >> qshift) * sign
+    q = jnp.clip(q, -32768, 32767)
+    nnz_ref[0] = jnp.sum((q != 0).astype(jnp.int32))
+
+    # Dequantize (quantize.c:53-62).
+    dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
+
+    # Inverse DCT with clipped passes (residual_decode.c:124-171): the
+    # inverse pass is dst = X^T-contraction with T columns, i.e.
+    # r1 = clip((BD^T @ dq... expressed as (dq^T @ BD)^T == BD^T @ dq).
+    r1 = jnp.clip((_mm(bd.T, dq) + 64) >> 7, -32768, 32767)
+    r2 = jnp.clip((_mm_t(r1, bd.T) + 2048) >> 12, -32768, 32767)
+
+    out_ref[0] = jnp.clip(pred + r2, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift"))
+def residual_pipeline_ctu(
+    src_ctus: jnp.ndarray,
+    pred_ctus: jnp.ndarray,
+    qscale: int,
+    qshift: int,
+    qoffset: int,
+    dscale: int,
+    dshift: int,
+):
+    """Fused residual pipeline over (n, 64, 64) CTU stacks with 8x8 TUs.
+
+    Returns (recon (n, 64, 64) uint8, nnz (n,) int32), bit-exact with the
+    composed REF ops (verified in tests/test_residual_pallas.py).
+    """
+    n = src_ctus.shape[0]
+    bd = jnp.asarray(block_diag_t8()).astype(jnp.bfloat16)
+    kernel = functools.partial(
+        _kernel, qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 64, 64), jnp.uint8),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(src_ctus, pred_ctus, bd)
