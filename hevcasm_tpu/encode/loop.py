@@ -25,7 +25,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.sad import sad as _sad
 from ..ops.satd import satd as _satd
 from ..ops.transform import forward_transform, inverse_transform_add
 from ..ops.quantize import quantize, quantize_inverse
@@ -180,8 +179,10 @@ def encode_intra_frame(cur: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
     for mode in range(35):
         p = pred_intra(mode, left, above, corner, n)
         preds.append(p)
-        # SAD-based cost for speed; SATD refines the top candidate below.
-        costs.append(_sad(blocks, p))
+        # SATD over 8x8 sub-blocks: the standard intra mode-decision cost
+        # (what the reference's hadamard_satd kernels exist for,
+        # hadamard.c:75-111).
+        costs.append(_satd_cost(blocks, p))
     preds = jnp.stack(preds, axis=1)                           # (m, 35, n, n)
     costs = jnp.stack(costs, axis=1)                           # (m, 35)
     best = jnp.argmin(costs, axis=-1).astype(jnp.int32)
