@@ -35,9 +35,16 @@ def _cmd_encode(args):
 
     from .encode import encode_gop, EncodeConfig
 
+    cfg = EncodeConfig(
+        qp=args.qp, search_range=args.search_range,
+        me_strategy="pyramid" if args.pyramid else "full",
+    )
+
+    if args.input:
+        return _encode_file(args, cfg)
+
     rng = np.random.default_rng(0)
     frames = _synthetic_video(rng, args.frames, args.height, args.width)
-    cfg = EncodeConfig(qp=args.qp, search_range=args.search_range)
     out = encode_gop(jnp.asarray(frames), cfg)
     print(
         json.dumps(
@@ -47,6 +54,53 @@ def _cmd_encode(args):
                 "qp": args.qp,
                 "psnr_db": float(out["psnr_db"]),
                 "nnz": int(out["nnz"]),
+            }
+        )
+    )
+    return 0
+
+
+def _encode_file(args, cfg):
+    """Encode a .y4m / raw .yuv clip (4:2:0) and optionally write the
+    reconstruction as .y4m."""
+    import jax.numpy as jnp
+
+    from . import io as yio
+    from .encode.video import YuvFrame, encode_gop_yuv
+
+    frames = list(yio.iter_frames(args.input, width=args.width, height=args.height))
+    if args.frames:
+        frames = frames[: args.frames]
+    if not frames:
+        print("error: no frames read", file=sys.stderr)
+        return 1
+    h, w = frames[0].y.shape
+    # Crop to CTU multiples.
+    h64, w64 = h // 64 * 64, w // 64 * 64
+    gop = YuvFrame(
+        jnp.asarray(np.stack([f.y[:h64, :w64] for f in frames])),
+        jnp.asarray(np.stack([f.cb[: h64 // 2, : w64 // 2] for f in frames])),
+        jnp.asarray(np.stack([f.cr[: h64 // 2, : w64 // 2] for f in frames])),
+    )
+    out = encode_gop_yuv(gop, cfg, b_frames=args.b_frames)
+    if args.output:
+        rec = out["recon"]
+        yio.write_y4m(
+            args.output,
+            [yio.YuvArrays(np.asarray(rec.y[t]), np.asarray(rec.cb[t]), np.asarray(rec.cr[t]))
+             for t in range(rec.y.shape[0])],
+            w64, h64,
+        )
+    print(
+        json.dumps(
+            {
+                "input": args.input,
+                "frames": int(gop.y.shape[0]),
+                "size": f"{w64}x{h64}",
+                "qp": cfg.qp,
+                "psnr_y_db": float(out["psnr_y"]),
+                "nnz": int(out["nnz"]),
+                "output": args.output or None,
             }
         )
     )
@@ -93,12 +147,16 @@ def main(argv=None):
     st.add_argument("--suites", help="comma list of suite names (default all)")
     st.add_argument("--no-time", action="store_true")
 
-    enc = sub.add_parser("encode", help="encode a synthetic GOP")
+    enc = sub.add_parser("encode", help="encode a .y4m/.yuv clip or a synthetic GOP")
+    enc.add_argument("--input", help=".y4m or raw .yuv file (default: synthetic)")
+    enc.add_argument("--output", help="write reconstruction as .y4m")
     enc.add_argument("--frames", type=int, default=4)
     enc.add_argument("--width", type=int, default=640)
     enc.add_argument("--height", type=int, default=384)
     enc.add_argument("--qp", type=int, default=32)
     enc.add_argument("--search-range", type=int, default=16)
+    enc.add_argument("--pyramid", action="store_true", help="hierarchical ME")
+    enc.add_argument("--b-frames", action="store_true", help="IBPB GOP structure")
 
     args = p.parse_args(argv)
     if args.cmd == "info":

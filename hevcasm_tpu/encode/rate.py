@@ -1,0 +1,129 @@
+"""Rate control: per-frame qp adaptation toward a bit budget.
+
+The reference has no rate control (no config system beyond the ISA mask,
+SURVEY.md section 5); a production encoder needs one.  TPU-first design
+constraint: qp must be a *traced* value, otherwise every qp change would
+recompile the frame program.  quantize/quantize_inverse already accept traced
+scale/shift/offset arrays, so the quantizer parameter derivation below is
+pure jnp (table gathers + shifts) and one compiled program serves all qps.
+
+Bit cost uses an Exp-Golomb-style proxy:
+  bits(q) = 0                   if q == 0
+          = 2*floor(log2|q|)+3  otherwise  (sign + unary prefix + suffix)
+which tracks real CABAC rates well enough for proportional control.
+
+The controller is the classic per-frame proportional update:
+  qp[t+1] = clip(qp[t] + round(k * log2(bits[t] / target)), qp_min, qp_max)
+run inside lax.scan over the GOP, so a whole rate-controlled GOP is still a
+single compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.transform import forward_transform, inverse_transform_add
+from ..ops.quantize import quantize, quantize_inverse
+from ..utils.psnr import psnr
+from . import ctu as ctu_mod
+from . import motion
+from .loop import EncodeConfig, QUANT_SCALES, DEQUANT_SCALES
+
+__all__ = ["quant_params_traced", "bits_estimate", "encode_gop_rate_controlled"]
+
+
+def quant_params_traced(qp: jnp.ndarray, tu_log2: int, intra: bool = False):
+    """Traced-qp version of EncodeConfig.quant_params/dequant_params."""
+    qp = jnp.asarray(qp, jnp.int32)
+    rem, per = qp % 6, qp // 6
+    qscales = jnp.asarray(QUANT_SCALES, jnp.int32)
+    dscales = jnp.asarray(DEQUANT_SCALES, jnp.int32)
+    qscale = jnp.take(qscales, rem)
+    qshift = 21 + per - tu_log2
+    qoffset = (171 if intra else 85) << 7
+    dscale = jnp.take(dscales, rem) << per
+    dshift = tu_log2 - 1
+    return qscale, qshift, qoffset, dscale, dshift
+
+
+def bits_estimate(levels: jnp.ndarray) -> jnp.ndarray:
+    """Exp-Golomb-style bit-cost proxy of quantized levels (scalar int32)."""
+    a = jnp.abs(levels.astype(jnp.int32))
+    # floor(log2(a)) for a>=1 via float log2 is exact for a < 2^24.
+    fl = jnp.floor(jnp.log2(jnp.maximum(a, 1).astype(jnp.float32))).astype(jnp.int32)
+    bits = jnp.where(a > 0, 2 * fl + 3, 0)
+    return jnp.sum(bits)
+
+
+def _residual_pipeline_traced(src_blocks, pred_blocks, qp, cfg: EncodeConfig, intra: bool):
+    """cfg-shaped residual pipeline with a traced qp; returns (rec, bits)."""
+    res = src_blocks.astype(jnp.int16) - pred_blocks.astype(jnp.int16)
+    tus = ctu_mod.split_blocks(res, cfg.tu)
+    ptus = ctu_mod.split_blocks(pred_blocks, cfg.tu)
+    coeffs = forward_transform(tus)
+    qscale, qshift, qoffset, dscale, dshift = quant_params_traced(qp, cfg.tu_log2, intra)
+    levels, _ = quantize(coeffs, qscale, qshift, qoffset)
+    rcoeffs = quantize_inverse(levels, dscale, dshift)
+    rec_tus = inverse_transform_add(rcoeffs, ptus)
+    rec = ctu_mod.merge_blocks(rec_tus, src_blocks.shape[-1])
+    return rec, bits_estimate(levels)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_inter_frame_traced_qp(cur, ref, qp, cfg: EncodeConfig = EncodeConfig()):
+    """encode_inter_frame with a traced qp; one compile serves all qps."""
+    h, w = cur.shape
+    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur, cfg.ctu)
+    r = cfg.search_range
+    ref_padded = ctu_mod.pad_frame(
+        ref, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
+    )
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    if cfg.me_strategy == "pyramid":
+        mv_int, _ = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
+    else:
+        mv_int, _ = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
+    pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+    rec_ctus, bits = _residual_pipeline_traced(src_ctus, pred, qp, cfg, intra=False)
+    recon = ctu_mod.untile_frame(rec_ctus, h, w)
+    return {"recon": recon, "bits": bits, "psnr_db": psnr(cur, recon), "qp": qp}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "qp_min", "qp_max"))
+def encode_gop_rate_controlled(
+    frames: jnp.ndarray,
+    target_bits_per_frame,
+    qp0,
+    cfg: EncodeConfig = EncodeConfig(),
+    qp_min: int = 10,
+    qp_max: int = 49,
+):
+    """Closed-loop IPPP GOP with per-frame proportional qp control, as one
+    compiled program (lax.scan).  frames (T, H, W); frame 0 is used as the
+    initial reference (caller encodes it intra separately).
+
+    Returns per-frame recon, bits, qp, psnr arrays.
+    """
+    target = jnp.maximum(jnp.asarray(target_bits_per_frame, jnp.float32), 1.0)
+    qp0 = jnp.asarray(qp0, jnp.int32)
+
+    def body(carry, cur):
+        prev_recon, qp = carry
+        out = encode_inter_frame_traced_qp(cur, prev_recon, qp, cfg)
+        # Damped proportional update in the log-bit domain.  The bits-vs-qp
+        # slope steepens at high qp, so an aggressive gain oscillates; a
+        # gain of 1.5 steps/octave with a +-6 step clamp converges smoothly.
+        err = jnp.log2(jnp.maximum(out["bits"].astype(jnp.float32), 1.0) / target)
+        step = jnp.clip(jnp.round(1.5 * err).astype(jnp.int32), -6, 6)
+        qp_next = jnp.clip(qp + step, qp_min, qp_max)
+        return (out["recon"], qp_next), (out["recon"], out["bits"], qp, out["psnr_db"])
+
+    (_, _), (recs, bits, qps, psnrs) = jax.lax.scan(
+        body, (frames[0], qp0), frames[1:]
+    )
+    return {"recon": recs, "bits": bits, "qp": qps, "psnr_db": psnrs}

@@ -137,7 +137,10 @@ def encode_inter_frame_spatial(
         gr, gc = ctu_mod.grid_shape(band_h, w, cfg.ctu)
         src_ctus = ctu_mod.tile_frame(cur_band, cfg.ctu)
         pos = motion.ctu_positions(gr, gc, cfg.ctu)
-        mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid=(gr, gc))
+        grid_fn = motion.grid_metric_fn(cfg.me_metric)
+        mv_int, best_sad = motion.full_search(
+            src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+        )
         pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
         rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
         recon = ctu_mod.untile_frame(rec_ctus, band_h, w)
