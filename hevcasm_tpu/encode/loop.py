@@ -54,6 +54,9 @@ class EncodeConfig:
     # "full" = exhaustive +-R grid; "pyramid" = 2-level hierarchical search
     # covering the same window at ~1/60 the arithmetic (motion.pyramid_search).
     me_strategy: str = "full"
+    # Use the fused Pallas quarter-pel refinement kernel
+    # (kernels/interp_pallas.py); bit-exact with the jnp path.
+    fused_refine: bool = False
 
     @property
     def tu_log2(self) -> int:
@@ -115,7 +118,15 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
         mv_int, best_sad = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
     else:
         mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
-    pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+    if cfg.fused_refine:
+        start = pos + mv_int + r
+        win = motion.extract_windows(ref_padded, start, cfg.ctu + motion.TAPS - 1)
+        from ..kernels.interp_pallas import refine_quarter_pel_fused
+
+        pred, frac, _ = refine_quarter_pel_fused(src_ctus, win)
+        mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
+    else:
+        pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
 
     rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
     recon = ctu_mod.untile_frame(rec_ctus, h, w)
