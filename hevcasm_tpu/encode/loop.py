@@ -79,7 +79,7 @@ class EncodeConfig:
         return scale, shift
 
 
-def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool):
+def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool, luma: bool = True):
     """residual -> TU transform -> quant -> dequant -> inverse+add -> recon.
 
     src/pred: (n, B, B) uint8.  Returns (recon_blocks, num_nonzero).
@@ -87,12 +87,15 @@ def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool):
     res = src_blocks.astype(jnp.int16) - pred_blocks.astype(jnp.int16)
     tus = ctu_mod.split_blocks(res, cfg.tu)                   # (m, tu, tu)
     ptus = ctu_mod.split_blocks(pred_blocks, cfg.tu)
-    coeffs = forward_transform(tus)
+    # HEVC uses the DST-VII for 4x4 intra luma TUs (residual_decode.c:914);
+    # chroma always uses the DCT.
+    tr_type = 1 if (intra and luma and cfg.tu == 4) else 0
+    coeffs = forward_transform(tus, tr_type)
     scale, shift, offset = cfg.quant_params(intra)
     levels, cbf = quantize(coeffs, scale, shift, offset)
     dscale, dshift = cfg.dequant_params()
     rcoeffs = quantize_inverse(levels, dscale, dshift)
-    rec_tus = inverse_transform_add(rcoeffs, ptus)
+    rec_tus = inverse_transform_add(rcoeffs, ptus, tr_type)
     rec = ctu_mod.merge_blocks(rec_tus, src_blocks.shape[-1])
     nnz = jnp.sum(levels.astype(jnp.int32) != 0)
     return rec, nnz, cbf

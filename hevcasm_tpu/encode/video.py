@@ -90,7 +90,7 @@ def _chroma_mc(plane: jnp.ndarray, mv_qpel: jnp.ndarray, cfg: EncodeConfig):
 def _chroma_residual(cur_plane, pred_blocks, cfg: EncodeConfig, intra: bool):
     ccfg = _chroma_cfg(cfg)
     src_blocks = ctu_mod.tile_frame(cur_plane, ccfg.ctu)
-    rec, nnz, _ = _residual_pipeline(src_blocks, pred_blocks, ccfg, intra)
+    rec, nnz, _ = _residual_pipeline(src_blocks, pred_blocks, ccfg, intra, luma=False)
     return ctu_mod.untile_frame(rec, *cur_plane.shape), nnz
 
 
@@ -188,7 +188,7 @@ def encode_intra_frame_yuv(cur: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
         pred = jnp.broadcast_to(
             jnp.round(dc).astype(jnp.uint8)[:, None, None], blocks.shape
         )
-        rec, nnz, _ = _residual_pipeline(blocks, pred, ccfg, intra=True)
+        rec, nnz, _ = _residual_pipeline(blocks, pred, ccfg, intra=True, luma=False)
         return ctu_mod.untile_frame(rec, *plane.shape), nnz
 
     rec_cb, nnz_cb = chroma_plane(cur.cb)

@@ -65,8 +65,8 @@ def _kernel(src_ref, win_ref, pred_ref, frac_ref, cost_ref, *, b):
             best_cost = jnp.where(better, cost, best_cost)
 
     pred_ref[0] = best_pred
-    frac_ref[0] = best_idx
-    cost_ref[0] = best_cost
+    frac_ref[...] = best_idx.reshape(1, 1, 1)
+    cost_ref[...] = best_cost.reshape(1, 1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -77,7 +77,7 @@ def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
     (first-minimum tie-breaking) bit-exactly."""
     n, b, _ = src_ctus.shape
     kernel = functools.partial(_kernel, b=b)
-    return pl.pallas_call(
+    pred, frac, cost = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
@@ -86,13 +86,14 @@ def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
         ],
         out_specs=(
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, b, b), jnp.uint8),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(src_ctus, windows)
+    return pred, frac[:, 0, 0], cost[:, 0, 0]

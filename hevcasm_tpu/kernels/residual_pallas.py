@@ -79,7 +79,7 @@ def _kernel(src_ref, pred_ref, bd_ref, out_ref, nnz_ref, *, qscale, qshift,
     sign = jnp.where(coeffs < 0, -1, 1)
     q = ((jnp.abs(coeffs) * qscale + (qoffset << (qshift - 16))) >> qshift) * sign
     q = jnp.clip(q, -32768, 32767)
-    nnz_ref[0] = jnp.sum((q != 0).astype(jnp.int32))
+    nnz_ref[...] = jnp.sum((q != 0).astype(jnp.int32)).reshape(1, 1, 1)
 
     # Dequantize (quantize.c:53-62).
     dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
@@ -114,7 +114,7 @@ def residual_pipeline_ctu(
         _kernel, qscale=qscale, qshift=qshift, qoffset=qoffset,
         dscale=dscale, dshift=dshift,
     )
-    return pl.pallas_call(
+    rec, nnz = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
@@ -124,11 +124,15 @@ def residual_pipeline_ctu(
         ],
         out_specs=(
             pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
+            # Scalar-per-program output: Mosaic requires the block's last
+            # two dims to divide (8, 128) or equal the array dims, so scalars
+            # ride as (n, 1, 1) arrays with (1, 1, 1) blocks.
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 64, 64), jnp.uint8),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(src_ctus, pred_ctus, bd)
+    return rec, nnz[:, 0, 0]

@@ -34,13 +34,13 @@ def _sad_grid_kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx):
 
     def dy_body(dy, _):
         band = win_ref[0, pl.ds(dy, b), :].astype(jnp.int32)  # (b, Wx)
-
-        def dx_body(dx, _):
-            cand = jax.lax.dynamic_slice(band, (0, dx), (b, b))
-            out_ref[0, dy, dx] = jnp.sum(jnp.abs(s - cand))
-            return 0
-
-        return jax.lax.fori_loop(0, num_dx, dx_body, 0)
+        # Static unroll over dx (lane shifts), one row-vector store per dy
+        # (scalar VMEM stores are not lowerable on TPU).
+        row = jnp.stack(
+            [jnp.sum(jnp.abs(s - band[:, dx : dx + b])) for dx in range(num_dx)]
+        )
+        out_ref[0, pl.ds(dy, 1), :] = row.reshape(1, num_dx)
+        return 0
 
     jax.lax.fori_loop(0, num_dy, dy_body, 0)
 
@@ -71,7 +71,7 @@ def sad_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int) ->
 
 def _sad_kernel(src_ref, ref_ref, out_ref):
     d = src_ref[0].astype(jnp.int32) - ref_ref[0].astype(jnp.int32)
-    out_ref[0] = jnp.sum(jnp.abs(d))
+    out_ref[...] = jnp.sum(jnp.abs(d)).reshape(1, 1, 1)
 
 
 @jax.jit
@@ -88,22 +88,22 @@ def sad(src: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
         interpret=_interpret(),
-    )(src, ref)
+    )(src, ref)[:, 0, 0]
     return out[0] if squeeze else out
 
 
 def _sad_multiref_kernel(src_ref, refs_ref, out_ref, *, ways):
     s = src_ref[0].astype(jnp.int32)
-
-    def body(k, _):
-        d = s - refs_ref[0, k].astype(jnp.int32)
-        out_ref[0, k] = jnp.sum(jnp.abs(d))
-        return 0
-
-    jax.lax.fori_loop(0, ways, body, 0)
+    # Static unroll over ways; one vector store (scalar VMEM stores are not
+    # lowerable on TPU).
+    vals = [
+        jnp.sum(jnp.abs(s - refs_ref[0, k].astype(jnp.int32)))
+        for k in range(ways)
+    ]
+    out_ref[...] = jnp.stack(vals).reshape(1, 1, ways)
 
 
 @jax.jit
@@ -122,10 +122,10 @@ def sad_multiref(src: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, k), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1, k), jnp.int32),
         interpret=_interpret(),
-    )(src, refs)
+    )(src, refs)[:, 0]
     return out[0] if squeeze else out
 
 
