@@ -57,6 +57,11 @@ class EncodeConfig:
     # Use the fused Pallas quarter-pel refinement kernel
     # (kernels/interp_pallas.py); bit-exact with the jnp path.
     fused_refine: bool = False
+    # Intra prediction source: "open_loop" predicts from original-frame
+    # neighbours (all blocks parallel); "wavefront" predicts from
+    # reconstructed neighbours with the WPP 2r+c wave schedule
+    # (encode/intra_wavefront.py), the conforming-encoder behaviour.
+    intra_mode: str = "open_loop"
 
     @property
     def tu_log2(self) -> int:
@@ -220,7 +225,12 @@ def encode_gop(frames: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
     which is what lets config 4 shard frames across chips with no sequential
     dependency (SURVEY.md section 2.3).
     """
-    intra = encode_intra_frame(frames[0], cfg)
+    if cfg.intra_mode == "wavefront":
+        from .intra_wavefront import encode_intra_frame_wavefront
+
+        intra = encode_intra_frame_wavefront(frames[0], cfg)
+    else:
+        intra = encode_intra_frame(frames[0], cfg)
     results = [intra]
     for t in range(1, frames.shape[0]):
         results.append(encode_inter_frame(frames[t], frames[t - 1], cfg))
