@@ -147,6 +147,65 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_inter_frame_multiref(
+    cur: jnp.ndarray, refs: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()
+):
+    """P frame with multiple reference frames: per-CTU reference selection.
+
+    refs: (k, H, W) candidate reference planes (e.g. the last k
+    reconstructions).  Each CTU searches every reference and takes the one
+    with the best score — the encoder-level use of the multi-reference SAD
+    capability (sad.h:94-112 exists exactly for this loop).
+    """
+    h, w = cur.shape
+    k = refs.shape[0]
+    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur, cfg.ctu)
+    r = cfg.search_range
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+
+    preds, scores, mvs = [], [], []
+    for i in range(k):
+        ref = refs[i]
+        ref_padded = ctu_mod.pad_frame(
+            ref, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
+        )
+        if cfg.me_strategy == "pyramid":
+            mv_int, _ = motion.pyramid_search(
+                src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+            )
+        else:
+            mv_int, _ = motion.full_search(
+                src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+            )
+        pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+        preds.append(pred)
+        mvs.append(mv_qpel)
+        # Score the refined prediction per CTU with SAD (cheap, consistent
+        # across references).
+        d = src_ctus.astype(jnp.int32) - pred.astype(jnp.int32)
+        scores.append(jnp.sum(jnp.abs(d), axis=(-2, -1)))
+
+    preds = jnp.stack(preds, axis=1)     # (n, k, B, B)
+    scores = jnp.stack(scores, axis=1)   # (n, k)
+    mvs = jnp.stack(mvs, axis=1)         # (n, k, 2)
+    best = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+    mv_qpel = jnp.take_along_axis(mvs, best[:, None, None], axis=1)[:, 0]
+
+    rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
+    recon = ctu_mod.untile_frame(rec_ctus, h, w)
+    return {
+        "recon": recon,
+        "mvs": mv_qpel,
+        "ref_idx": best,
+        "nnz": nnz,
+        "psnr_db": psnr(cur, recon),
+    }
+
+
 def _intra_neighbours(frame: jnp.ndarray, n: int):
     """Open-loop intra neighbours for every n x n block of a frame.
 
