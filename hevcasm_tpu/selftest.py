@@ -128,6 +128,15 @@ def _sad_grid_cases(rng):
     return cases
 
 
+def _ssd_grid_cases(rng):
+    cases = []
+    for (b, r) in [(64, 8), (32, 16)]:
+        src = rng.integers(0, 256, (4, b, b), dtype=np.uint8)
+        win = rng.integers(0, 256, (4, b + 2 * r, b + 2 * r), dtype=np.uint8)
+        cases.append(Case(f"4x {b}x{b} +-{r}", (src, win, 2 * r + 1, 2 * r + 1)))
+    return cases
+
+
 def _ssd_cases(rng):
     a = rng.integers(0, 256, (64, 64), dtype=np.uint8)
     b = rng.integers(0, 256, (64, 64), dtype=np.uint8)
@@ -233,6 +242,7 @@ SUITES = [
     Suite("sad_multiref", _sad_multiref_cases),
     Suite("sad", _sad_cases),
     Suite("sad_grid", _sad_grid_cases),
+    Suite("ssd_grid", _ssd_grid_cases),
     Suite("ssd", _ssd_cases),
     Suite("ssd_linear", _ssd_linear_cases),
     Suite("pred_intra", _pred_intra_cases),
