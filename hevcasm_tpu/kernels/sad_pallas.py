@@ -30,19 +30,27 @@ def _interpret() -> bool:
 
 
 def _sad_grid_kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx):
+    # Mosaic requires dynamic offsets in the sublane (second-to-last) dim to
+    # be provably 8-aligned, so dy is processed in groups of 8: one aligned
+    # dynamic band load of b+8 rows, then 8 static sub-offsets within it.
     s = src_ref[0].astype(jnp.int32)  # (b, b)
+    n_groups = (num_dy + 7) // 8
 
-    def dy_body(dy, _):
-        band = win_ref[0, pl.ds(dy, b), :].astype(jnp.int32)  # (b, Wx)
-        # Static unroll over dx (lane shifts), one row-vector store per dy
-        # (scalar VMEM stores are not lowerable on TPU).
-        row = jnp.stack(
-            [jnp.sum(jnp.abs(s - band[:, dx : dx + b])) for dx in range(num_dx)]
-        )
-        out_ref[0, pl.ds(dy, 1), :] = row.reshape(1, num_dx)
+    def group_body(k, _):
+        base = pl.multiple_of(8 * k, 8)
+        band8 = win_ref[0, pl.ds(base, b + 8), :].astype(jnp.int32)  # (b+8, Wx)
+        rows = []
+        for r in range(8):  # static unroll: dy = 8k + r
+            band = band8[r : r + b]
+            rows.append(
+                jnp.stack(
+                    [jnp.sum(jnp.abs(s - band[:, dx : dx + b])) for dx in range(num_dx)]
+                )
+            )
+        out_ref[0, pl.ds(base, 8), :] = jnp.stack(rows)  # (8, num_dx)
         return 0
 
-    jax.lax.fori_loop(0, num_dy, dy_body, 0)
+    jax.lax.fori_loop(0, n_groups, group_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_dy", "num_dx"))
@@ -50,23 +58,35 @@ def sad_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int) ->
     """Pallas full-search SAD grid; same contract as ops.sad.sad_grid.
 
     src (n, b, b) uint8, window (n, >=b+num_dy-1, >=b+num_dx-1) uint8
-    -> (n, num_dy, num_dx) int32, bit-exact.
+    -> (n, num_dy, num_dx) int32, bit-exact.  2-D (unbatched) inputs are
+    accepted like ops.sad.sad_grid and return (num_dy, num_dx).
     """
+    squeeze = src.ndim == 2
+    if squeeze:
+        src, window = src[None], window[None]
     n, b, _ = src.shape
     wh, ww = b + num_dy - 1, b + num_dx - 1
     window = window[:, :wh, :ww]
+    # Pad rows so every aligned 8-group band load (b+8 rows at offset 8k) and
+    # the 8-row output stores stay in bounds; the wrapper strips the excess.
+    n_groups = (num_dy + 7) // 8
+    wh_pad = 8 * (n_groups - 1) + b + 8
+    if wh_pad > wh:
+        window = jnp.pad(window, ((0, 0), (0, wh_pad - wh), (0, 0)))
+    dy_pad = 8 * n_groups
     kernel = functools.partial(_sad_grid_kernel, b=b, num_dy=num_dy, num_dx=num_dx)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wh, ww), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wh_pad, ww), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_dy, num_dx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, num_dy, num_dx), jnp.int32),
+        out_specs=pl.BlockSpec((1, dy_pad, num_dx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, dy_pad, num_dx), jnp.int32),
         interpret=_interpret(),
-    )(src, window)
+    )(src, window)[:, :num_dy]
+    return out[0] if squeeze else out
 
 
 def _sad_kernel(src_ref, ref_ref, out_ref):

@@ -113,8 +113,13 @@ def satd(a, b):
     n = a.shape[-1]
     h = jnp.asarray(hadamard_matrix(n)).astype(jnp.float32)
     d = (a.astype(jnp.int32) - b.astype(jnp.int32)).astype(jnp.float32)
-    m = jnp.einsum("ky,...yx->...kx", h, d, preferred_element_type=jnp.float32)
-    t = jnp.einsum("...kx,xj->...kj", m, h, preferred_element_type=jnp.float32)
+    # HIGHEST precision keeps the f32 MXU passes exact for these integer
+    # magnitudes; the TPU default truncates matmul inputs to bf16, which
+    # breaks bit-exactness once intermediates exceed 2^8.
+    m = jnp.einsum("ky,...yx->...kx", h, d, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    t = jnp.einsum("...kx,xj->...kj", m, h, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     s = jnp.sum(jnp.abs(t).astype(jnp.int32), axis=(-2, -1)) + n // 4
     return s // (n // 2)
 

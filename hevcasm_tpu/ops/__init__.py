@@ -44,8 +44,20 @@ _REF_OPS = {
     "pred_intra": pred_intra,
 }
 
+# Python-level (shape/branch-determining) argument positions per op; the
+# registry's default jit-of-REF tier marks these static.
+_STATIC = {
+    "sad_grid": (2, 3),        # num_dy, num_dx
+    "pred_intra": (0, 4, 5),   # mode, n, filter_edge
+    "pred_uni": (3,),          # taps
+    "pred_bi": (6,),           # taps
+    "forward_transform": (1,),  # transform type
+    "inverse_transform": (1,),
+    "inverse_transform_add": (2,),
+}
+
 for _name, _fn in _REF_OPS.items():
-    registry.register(_name, Tier.REF, _fn)
+    registry.register(_name, Tier.REF, _fn, static_argnums=_STATIC.get(_name))
 
 __all__ = [
     "sad", "sad_multiref", "sad_grid",

@@ -22,19 +22,32 @@ import jax
 from .config import Tier, tiers_in
 
 _REGISTRY: Dict[Tuple[str, Tier], Callable] = {}
+# Per-op static (shape/branch-determining) argument positions, used when the
+# default JIT tier wraps the REF implementation in jax.jit — the analogue of
+# geometry being baked into which table slot the reference selects.
+_STATIC_ARGNUMS: Dict[str, tuple] = {}
 
 
-def register(op: str, tier: Tier, fn: Callable | None = None):
+def register(op: str, tier: Tier, fn: Callable | None = None, *,
+             static_argnums: tuple | None = None):
     """Register ``fn`` as implementation of ``op`` at ``tier``.
 
     Usable as a decorator: ``@register("sad", Tier.PALLAS)``.
+    ``static_argnums`` marks Python-level args (mode, grid extents, taps)
+    that must stay static under the default jit-of-REF tier.
     """
 
     def _do(f):
         _REGISTRY[(op, tier)] = f
+        if static_argnums is not None:
+            _STATIC_ARGNUMS[op] = tuple(static_argnums)
         return f
 
     return _do(fn) if fn is not None else _do
+
+
+def _jit_ref(op: str, ref: Callable) -> Callable:
+    return jax.jit(ref, static_argnums=_STATIC_ARGNUMS.get(op, ()))
 
 
 def get(op: str, mask: Tier = Tier.ALL) -> Callable | None:
@@ -46,7 +59,7 @@ def get(op: str, mask: Tier = Tier.ALL) -> Callable | None:
             # of C_OPT (same maths, compiler-scheduled).
             ref = _REGISTRY.get((op, Tier.REF))
             if ref is not None and mask & Tier.JIT:
-                return jax.jit(ref)
+                return _jit_ref(op, ref)
         f = _REGISTRY.get((op, tier))
         if f is not None:
             return f
@@ -58,7 +71,7 @@ def get_tier(op: str, tier: Tier) -> Callable | None:
     how the harness binds one tier at a time (hevcasm_test.c:126-132)."""
     if tier is Tier.JIT and (op, Tier.JIT) not in _REGISTRY:
         ref = _REGISTRY.get((op, Tier.REF))
-        return jax.jit(ref) if ref is not None else None
+        return _jit_ref(op, ref) if ref is not None else None
     return _REGISTRY.get((op, tier))
 
 
