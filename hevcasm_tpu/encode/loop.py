@@ -57,6 +57,16 @@ class EncodeConfig:
     # Use the fused Pallas quarter-pel refinement kernel
     # (kernels/interp_pallas.py); bit-exact with the jnp path.
     fused_refine: bool = False
+    # Quarter-pel refinement implementation: "mxu" (banded-matrix matmul
+    # FIRs, kernels/interp_xla.py — fastest), "ref" (jnp VPU FIRs).
+    # cfg.fused_refine=True selects the Pallas kernel instead.  All three
+    # are bit-identical.
+    refine_impl: str = "mxu"
+    # Residual pipeline implementation: "mxu" (whole-frame block-diagonal
+    # matmuls, kernels/xla_opt.residual_pipeline_frame — fastest), "pallas"
+    # (per-CTU fused kernel), "ref" (per-TU composition of the REF ops).
+    # All bit-identical.
+    residual_impl: str = "mxu"
     # Intra prediction source: "open_loop" predicts from original-frame
     # neighbours (all blocks parallel); "wavefront" predicts from
     # reconstructed neighbours with the WPP 2r+c wave schedule
@@ -89,16 +99,33 @@ def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool, 
 
     src/pred: (n, B, B) uint8.  Returns (recon_blocks, num_nonzero).
     """
-    res = src_blocks.astype(jnp.int16) - pred_blocks.astype(jnp.int16)
-    tus = ctu_mod.split_blocks(res, cfg.tu)                   # (m, tu, tu)
-    ptus = ctu_mod.split_blocks(pred_blocks, cfg.tu)
     # HEVC uses the DST-VII for 4x4 intra luma TUs (residual_decode.c:914);
     # chroma always uses the DCT.
     tr_type = 1 if (intra and luma and cfg.tu == 4) else 0
-    coeffs = forward_transform(tus, tr_type)
     scale, shift, offset = cfg.quant_params(intra)
-    levels, cbf = quantize(coeffs, scale, shift, offset)
     dscale, dshift = cfg.dequant_params()
+
+    if cfg.residual_impl == "mxu":
+        from ..kernels.xla_opt import residual_pipeline_frame
+
+        rec, nnz, cbf = residual_pipeline_frame(
+            src_blocks, pred_blocks, scale, shift, offset, dscale, dshift,
+            tu=cfg.tu, tr_type=tr_type,
+        )
+        return rec, nnz, cbf.reshape(-1)
+    if cfg.residual_impl == "pallas" and cfg.tu == 8 and src_blocks.shape[-1] == 64 and tr_type == 0:
+        from ..kernels.residual_pallas import residual_pipeline_ctu
+
+        rec, nnz_per = residual_pipeline_ctu(
+            src_blocks, pred_blocks, scale, shift, offset, dscale, dshift
+        )
+        return rec, jnp.sum(nnz_per), nnz_per > 0
+
+    res = src_blocks.astype(jnp.int16) - pred_blocks.astype(jnp.int16)
+    tus = ctu_mod.split_blocks(res, cfg.tu)                   # (m, tu, tu)
+    ptus = ctu_mod.split_blocks(pred_blocks, cfg.tu)
+    coeffs = forward_transform(tus, tr_type)
+    levels, cbf = quantize(coeffs, scale, shift, offset)
     rcoeffs = quantize_inverse(levels, dscale, dshift)
     rec_tus = inverse_transform_add(rcoeffs, ptus, tr_type)
     rec = ctu_mod.merge_blocks(rec_tus, src_blocks.shape[-1])
@@ -126,12 +153,15 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
         mv_int, best_sad = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
     else:
         mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
-    if cfg.fused_refine:
+    if cfg.fused_refine or cfg.refine_impl == "mxu":
         start = pos + mv_int + r
         win = motion.extract_windows(ref_padded, start, cfg.ctu + motion.TAPS - 1)
-        from ..kernels.interp_pallas import refine_quarter_pel_fused
+        if cfg.fused_refine:
+            from ..kernels.interp_pallas import refine_quarter_pel_fused as _refine
+        else:
+            from ..kernels.interp_xla import refine_quarter_pel_mxu as _refine
 
-        pred, frac, _ = refine_quarter_pel_fused(src_ctus, win)
+        pred, frac, _ = _refine(src_ctus, win)
         mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
     else:
         pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)

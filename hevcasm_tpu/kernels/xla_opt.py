@@ -188,6 +188,99 @@ def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int) ->
     return srcsq[:, None, None] + winsq - 2 * corr
 
 
+def _mm_right_exact(x, m_bf):
+    """Exact integer x @ m for 16-bit x via the hi/lo split (einsum form)."""
+    hi, lo = _split16(x)
+    yh = jnp.einsum("...ij,jk->...ik", hi.astype(jnp.bfloat16), m_bf,
+                    preferred_element_type=jnp.float32)
+    yl = jnp.einsum("...ij,jk->...ik", lo.astype(jnp.bfloat16), m_bf,
+                    preferred_element_type=jnp.float32)
+    return 256 * yh.astype(jnp.int32) + yl.astype(jnp.int32)
+
+
+def _mm_left_exact(m_bf, x):
+    """Exact integer m @ x for 16-bit x via the hi/lo split (einsum form)."""
+    hi, lo = _split16(x)
+    yh = jnp.einsum("ij,...jk->...ik", m_bf, hi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    yl = jnp.einsum("ij,...jk->...ik", m_bf, lo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    return 256 * yh.astype(jnp.int32) + yl.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift", "tu", "tr_type"),
+)
+def residual_pipeline_frame(
+    src_blocks: jnp.ndarray,
+    pred_blocks: jnp.ndarray,
+    qscale: int,
+    qshift: int,
+    qoffset: int,
+    dscale: int,
+    dshift: int,
+    tu: int = 8,
+    tr_type: int = 0,
+):
+    """Whole-frame fused residual pipeline as frame-batched MXU matmuls.
+
+    src/pred: (n, B, B) uint8 CTU stacks.  Applies per-TU transform -> quant
+    -> dequant -> inverse transform -> add -> clip with the block-diagonal
+    identity kron(I_{B/tu}, T_tu): every pass over all n CTUs is ONE
+    (n*B, B) @ (B, B) matmul instead of n*(B/tu)^2 tiny tu x tu products,
+    which is what keeps the MXU fed (the per-CTU Pallas grid and the per-TU
+    einsum are both latency-bound at production frame sizes).
+
+    Bit-exact with ops.transform/ops.quantize composed per TU
+    (residual_decode.c:592-852 forward, :69-368 inverse+add,
+    quantize.c:53-186); exactness of the bf16/f32 path per the module
+    docstring (pass-1 inputs are 9-bit residuals, all later passes use the
+    hi/lo split; every accumulation stays below 2^24).
+
+    Returns (recon (n, B, B) uint8, nnz () int32, cbf (n, B/tu, B/tu) bool).
+    """
+    import numpy as np
+
+    b = src_blocks.shape[-1]
+    k = b // tu
+    assert k * tu == b
+    t = np.asarray(tr.DST4 if tr_type else tr.dct_matrix(tu))
+    bd = jnp.asarray(np.kron(np.eye(k, dtype=np.int64), t)).astype(jnp.bfloat16)
+    s1, s2 = tr.forward_shifts(tu.bit_length() - 1)
+    i1, i2 = tr.INVERSE_SHIFTS
+
+    def wrap16(x):
+        return x.astype(jnp.int16).astype(jnp.int32)
+
+    res = src_blocks.astype(jnp.int32) - pred_blocks.astype(jnp.int32)
+    # Forward pass 1 (row transform, contracts each TU's column index):
+    # |res| <= 255 is exactly representable in bf16, no split needed.
+    a1 = jnp.einsum("nij,kj->nik", res.astype(jnp.bfloat16), bd,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    st1 = wrap16((a1 + (1 << (s1 - 1))) >> s1)
+    coeffs = wrap16((_mm_left_exact(bd, st1) + (1 << (s2 - 1))) >> s2)
+
+    # Quantize (quantize.c:160-186) + per-TU coded-block flags.
+    sign = jnp.where(coeffs < 0, -1, 1)
+    q = ((jnp.abs(coeffs) * qscale + (qoffset << (qshift - 16))) >> qshift) * sign
+    q = jnp.clip(q, -32768, 32767)
+    nnz = jnp.sum((q != 0).astype(jnp.int32))
+    cbf = jnp.any(
+        (q != 0).reshape(q.shape[0], k, tu, k, tu), axis=(-3, -1)
+    )
+
+    # Dequantize (quantize.c:53-62).
+    dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
+
+    # Inverse transform with clipped passes (residual_decode.c:69-347).
+    r1 = jnp.clip((_mm_left_exact(bd.T, dq) + (1 << (i1 - 1))) >> i1, -32768, 32767)
+    r2 = jnp.clip((_mm_right_exact(r1, bd) + (1 << (i2 - 1))) >> i2, -32768, 32767)
+
+    rec = jnp.clip(pred_blocks.astype(jnp.int32) + r2, 0, 255).astype(jnp.uint8)
+    return rec, nnz, cbf
+
+
 # REF-tier exact-SSD grid for the same op family (scan formulation mirroring
 # ops.sad.sad_grid), so the harness has a golden to compare against.
 def ssd_grid_ref(src, window, num_dy, num_dx):
