@@ -27,7 +27,12 @@ def _cmd_selftest(args):
                 print(f"error: unknown tier '{t}' (valid: {valid})", file=sys.stderr)
                 return 2
     suites = args.suites.split(",") if getattr(args, "suites", None) else None
-    return selftest.main(mask=mask, time_it=not args.no_time, suites=suites)
+    return selftest.main(
+        mask=mask,
+        time_it=not args.no_time,
+        suites=suites,
+        json_path=getattr(args, "json", None),
+    )
 
 
 def _cmd_encode(args):
@@ -137,8 +142,26 @@ def _cmd_info(_args):
     return 0
 
 
+def _apply_platform(platform: str | None):
+    """Select the jax backend BEFORE first device use.
+
+    The reference binary runs on any host (src/bin/main.c:39-42); without
+    this escape hatch the axon TPU plugin can block forever during backend
+    init on hosts with no reachable TPU, hanging the selftest."""
+    if platform and platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hevcasm_tpu")
+    p.add_argument(
+        "--platform",
+        choices=["auto", "cpu", "tpu"],
+        default=None,
+        help="jax backend to use (default: auto-detect; 'cpu' runs anywhere)",
+    )
     sub = p.add_subparsers(dest="cmd")
     sub.add_parser("info", help="device + implementation-tier report")
 
@@ -146,6 +169,7 @@ def main(argv=None):
     st.add_argument("--tiers", help="comma list: ref,jit,pallas (default all)")
     st.add_argument("--suites", help="comma list of suite names (default all)")
     st.add_argument("--no-time", action="store_true")
+    st.add_argument("--json", help="write structured results to this path ('-' = stdout)")
 
     enc = sub.add_parser("encode", help="encode a .y4m/.yuv clip or a synthetic GOP")
     enc.add_argument("--input", help=".y4m or raw .yuv file (default: synthetic)")
@@ -159,13 +183,14 @@ def main(argv=None):
     enc.add_argument("--b-frames", action="store_true", help="IBPB GOP structure")
 
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
     if args.cmd == "info":
         return _cmd_info(args)
     if args.cmd == "encode":
         return _cmd_encode(args)
     if args.cmd == "selftest" or args.cmd is None:
         if args.cmd is None:
-            args = argparse.Namespace(tiers=None, no_time=False)
+            args = argparse.Namespace(tiers=None, no_time=False, json=None)
         return _cmd_selftest(args)
     p.print_help()
     return 2

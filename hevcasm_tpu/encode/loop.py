@@ -26,8 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.satd import satd as _satd
-from ..ops.transform import forward_transform, inverse_transform_add
-from ..ops.quantize import quantize, quantize_inverse
 from ..ops.pred_intra import pred_intra
 from ..utils.psnr import psnr
 from . import ctu as ctu_mod
@@ -73,6 +71,21 @@ class EncodeConfig:
     # (encode/intra_wavefront.py), the conforming-encoder behaviour.
     intra_mode: str = "open_loop"
 
+    def __post_init__(self):
+        # Typos in impl strings must fail loudly, not silently select a
+        # slower path (ADVICE r1).
+        _check = {
+            "me_metric": ("sad", "ssd"),
+            "me_strategy": ("full", "pyramid"),
+            "refine_impl": ("mxu", "ref"),
+            "residual_impl": ("mxu", "pallas", "ref"),
+            "intra_mode": ("open_loop", "wavefront"),
+        }
+        for field, valid in _check.items():
+            v = getattr(self, field)
+            if v not in valid:
+                raise ValueError(f"{field}={v!r} (valid: {', '.join(valid)})")
+
     @property
     def tu_log2(self) -> int:
         return self.tu.bit_length() - 1
@@ -97,8 +110,12 @@ class EncodeConfig:
 def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool, luma: bool = True):
     """residual -> TU transform -> quant -> dequant -> inverse+add -> recon.
 
-    src/pred: (n, B, B) uint8.  Returns (recon_blocks, num_nonzero).
+    src/pred: (n, B, B) uint8.  Returns (recon_blocks (n, B, B) uint8,
+    num_nonzero () int32, cbf (n*(B/tu)^2,) bool flat per-TU coded-block
+    flags in ctu.split_blocks order) — the same shapes from every impl.
     """
+    if cfg.residual_impl not in ("mxu", "pallas", "ref"):
+        raise ValueError(f"unknown residual_impl {cfg.residual_impl!r}")
     # HEVC uses the DST-VII for 4x4 intra luma TUs (residual_decode.c:914);
     # chroma always uses the DCT.
     tr_type = 1 if (intra and luma and cfg.tu == 4) else 0
@@ -113,24 +130,23 @@ def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool, 
             tu=cfg.tu, tr_type=tr_type,
         )
         return rec, nnz, cbf.reshape(-1)
-    if cfg.residual_impl == "pallas" and cfg.tu == 8 and src_blocks.shape[-1] == 64 and tr_type == 0:
-        from ..kernels.residual_pallas import residual_pipeline_ctu
+    if cfg.residual_impl == "pallas":
+        # The fused per-CTU kernel only covers the 64x64-CTU / 8x8-DCT-TU
+        # geometry; anything else falls through to the REF composition.
+        if cfg.tu == 8 and src_blocks.shape[-1] == 64 and tr_type == 0:
+            from ..kernels.residual_pallas import residual_pipeline_ctu
 
-        rec, nnz_per = residual_pipeline_ctu(
-            src_blocks, pred_blocks, scale, shift, offset, dscale, dshift
-        )
-        return rec, jnp.sum(nnz_per), nnz_per > 0
+            rec, nnz_tu = residual_pipeline_ctu(
+                src_blocks, pred_blocks, scale, shift, offset, dscale, dshift
+            )
+            return rec, jnp.sum(nnz_tu), (nnz_tu > 0).reshape(-1)
 
-    res = src_blocks.astype(jnp.int16) - pred_blocks.astype(jnp.int16)
-    tus = ctu_mod.split_blocks(res, cfg.tu)                   # (m, tu, tu)
-    ptus = ctu_mod.split_blocks(pred_blocks, cfg.tu)
-    coeffs = forward_transform(tus, tr_type)
-    levels, cbf = quantize(coeffs, scale, shift, offset)
-    rcoeffs = quantize_inverse(levels, dscale, dshift)
-    rec_tus = inverse_transform_add(rcoeffs, ptus, tr_type)
-    rec = ctu_mod.merge_blocks(rec_tus, src_blocks.shape[-1])
-    nnz = jnp.sum(levels.astype(jnp.int32) != 0)
-    return rec, nnz, cbf
+    from ..ops.residual import residual_pipeline
+
+    return residual_pipeline(
+        src_blocks, pred_blocks, scale, shift, offset, dscale, dshift,
+        tu=cfg.tu, tr_type=tr_type,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

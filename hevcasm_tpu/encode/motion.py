@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.sad import sad, sad_grid
+from ..ops.sad import sad_grid
 
 __all__ = [
     "ctu_positions",
@@ -212,34 +212,13 @@ def refine_quarter_pel(
     pred:   (n, B, B) uint8 best interpolated prediction
     mv_qpel:(n, 2) motion vectors in quarter-pel units (mv_int*4 + frac)
     """
-    from ..ops.pred_inter import KERNEL8, _fir, _wrap16
+    from ..ops.pred_inter import refine_qpel
 
     b = src_ctus.shape[-1]
     # Interp window top-left (unpadded): y0 + dy - PAD_L; padded offset
     # +(R + PAD_L) makes it y0 + dy + R >= 0.
     start = positions + mv_int + search_range
     win = extract_windows(ref_padded, start, b + TAPS - 1)  # (n, B+7, B+7)
-
-    # Share the horizontal FIR across the four vertical fractions: 4 H
-    # passes + 16 V passes instead of 16 of each.
-    win32 = win.astype(jnp.int32)
-    h_pass = [
-        _wrap16(_fir(win32, jnp.asarray(KERNEL8[xf]), axis=-1, out_len=b))
-        for xf in range(4)
-    ]  # each (n, B+7, B)
-
-    preds, costs = [], []
-    for yf in range(4):
-        cy = jnp.asarray(KERNEL8[yf])
-        for xf in range(4):
-            acc = _fir(h_pass[xf], cy, axis=-2, out_len=b)
-            p = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
-            preds.append(p)
-            costs.append(sad(src_ctus, p))
-    preds = jnp.stack(preds, axis=1)         # (n, 16, B, B)
-    costs = jnp.stack(costs, axis=1)         # (n, 16)
-    best = jnp.argmin(costs, axis=-1).astype(jnp.int32)  # (n,)
-    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
-    yfrac, xfrac = best // 4, best % 4
-    mv_qpel = mv_int * 4 + jnp.stack([yfrac, xfrac], axis=-1)
+    pred, frac, _ = refine_qpel(src_ctus, win)
+    mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
     return pred, mv_qpel, win

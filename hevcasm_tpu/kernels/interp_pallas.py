@@ -97,3 +97,9 @@ def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
         interpret=jax.default_backend() != "tpu",
     )(src_ctus, windows)
     return pred, frac[:, 0, 0], cost[:, 0, 0]
+
+
+from .. import registry as _registry
+from ..config import Tier as _Tier
+
+_registry.register("refine_qpel", _Tier.PALLAS, refine_quarter_pel_fused)

@@ -18,8 +18,6 @@ kernel (tests/test_interp_xla.py).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,3 +77,9 @@ def refine_quarter_pel_mxu(src_ctus: jnp.ndarray, windows: jnp.ndarray):
     pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
     cost = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
     return pred, best, cost
+
+
+from .. import registry as _registry
+from ..config import Tier as _Tier
+
+_registry.register("refine_qpel", _Tier.JIT, refine_quarter_pel_mxu)

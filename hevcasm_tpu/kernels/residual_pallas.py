@@ -60,8 +60,8 @@ def _wrap16(x):
     return x.astype(jnp.int16).astype(jnp.int32)
 
 
-def _kernel(src_ref, pred_ref, bd_ref, out_ref, nnz_ref, *, qscale, qshift,
-            qoffset, dscale, dshift):
+def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
+            qshift, qoffset, dscale, dshift):
     bd = bd_ref[...]
     src = src_ref[0].astype(jnp.int32)
     pred = pred_ref[0].astype(jnp.int32)
@@ -79,7 +79,16 @@ def _kernel(src_ref, pred_ref, bd_ref, out_ref, nnz_ref, *, qscale, qshift,
     sign = jnp.where(coeffs < 0, -1, 1)
     q = ((jnp.abs(coeffs) * qscale + (qoffset << (qshift - 16))) >> qshift) * sign
     q = jnp.clip(q, -32768, 32767)
-    nnz_ref[...] = jnp.sum((q != 0).astype(jnp.int32)).reshape(1, 1, 1)
+    # Per-TU coded-coefficient counts: (8, 8) TU grid of the CTU, so callers
+    # get cbf at the reference's per-TU granularity (quantize.c:181-184).
+    # Mosaic has no (64,64)->(8,8,8,8) reshape; the 8x8 box count is the
+    # pooling sandwich P @ nz @ P^T with P = kron(I8, ones(1,8)) — counts
+    # <= 64 so f32 accumulation is exact.
+    nz = (q != 0).astype(jnp.float32)
+    p = pool_ref[...]
+    cnt = jnp.dot(jnp.dot(p, nz, preferred_element_type=jnp.float32), p.T,
+                  preferred_element_type=jnp.float32)
+    nnz_ref[0] = cnt.astype(jnp.int32)
 
     # Dequantize (quantize.c:53-62).
     dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
@@ -105,11 +114,13 @@ def residual_pipeline_ctu(
 ):
     """Fused residual pipeline over (n, 64, 64) CTU stacks with 8x8 TUs.
 
-    Returns (recon (n, 64, 64) uint8, nnz (n,) int32), bit-exact with the
+    Returns (recon (n, 64, 64) uint8, nnz_tu (n, 8, 8) int32 per-TU coded-
+    coefficient counts in the CTU's TU-grid order), bit-exact with the
     composed REF ops (verified in tests/test_residual_pallas.py).
     """
     n = src_ctus.shape[0]
     bd = jnp.asarray(block_diag_t8()).astype(jnp.bfloat16)
+    pool = jnp.asarray(np.kron(np.eye(8, dtype=np.float32), np.ones((1, 8), np.float32)))
     kernel = functools.partial(
         _kernel, qscale=qscale, qshift=qshift, qoffset=qoffset,
         dscale=dscale, dshift=dshift,
@@ -121,18 +132,31 @@ def residual_pipeline_ctu(
             pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # Scalar-per-program output: Mosaic requires the block's last
-            # two dims to divide (8, 128) or equal the array dims, so scalars
-            # ride as (n, 1, 1) arrays with (1, 1, 1) blocks.
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 64, 64), jnp.uint8),
-            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 8, 8), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(src_ctus, pred_ctus, bd)
-    return rec, nnz[:, 0, 0]
+    )(src_ctus, pred_ctus, bd, pool)
+    return rec, nnz
+
+
+def _residual_pipeline_pallas(src, pred, qscale, qshift, qoffset, dscale,
+                              dshift, tu=8, tr_type=0):
+    """PALLAS tier of ops.residual.residual_pipeline.  Covers the hot
+    geometry only (64x64 CTU, 8x8 DCT TUs); other shapes raise so the
+    registry-level caller (or selftest) sees the gap explicitly instead of
+    silently degrading."""
+    if tu != 8 or src.shape[-1] != 64 or tr_type != 0:
+        raise NotImplementedError("pallas residual pipeline covers 64x64 CTU / 8x8 DCT TUs")
+    rec, nnz_tu = residual_pipeline_ctu(src, pred, qscale, qshift, qoffset, dscale, dshift)
+    return rec, jnp.sum(nnz_tu), (nnz_tu > 0).reshape(-1)
+
+
+registry.register("residual_pipeline", Tier.PALLAS, _residual_pipeline_pallas)

@@ -149,11 +149,16 @@ def sad_multiref(src: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
     return out[0] if squeeze else out
 
 
-# Register the Pallas tier only where it compiles natively; on CPU the
+# The Pallas tier is selectable only where it compiles natively; on CPU the
 # interpreter would be orders of magnitude slower than the REF tier, which
 # would invert the registry's best-tier-wins priority.  (Tests exercise the
-# kernels explicitly in interpreter mode on tiny shapes.)
-if not _interpret():  # pragma: no cover - TPU only
-    registry.register("sad_grid", Tier.PALLAS, sad_grid)
-    registry.register("sad", Tier.PALLAS, sad)
-    registry.register("sad_multiref", Tier.PALLAS, sad_multiref)
+# kernels explicitly in interpreter mode on tiny shapes.)  The predicate is
+# evaluated lazily at get() time so importing this module never initializes
+# a jax backend (the CLI must be able to choose --platform first).
+def _native() -> bool:
+    return not _interpret()
+
+
+registry.register("sad_grid", Tier.PALLAS, sad_grid, available=_native)
+registry.register("sad", Tier.PALLAS, sad, available=_native)
+registry.register("sad_multiref", Tier.PALLAS, sad_multiref, available=_native)

@@ -307,9 +307,19 @@ def _diag_colsum_check():  # pragma: no cover - debugging helper
     assert np.array_equal(np.asarray(got), want)
 
 
+def _residual_pipeline_jit(src, pred, qscale, qshift, qoffset, dscale, dshift,
+                           tu=8, tr_type=0):
+    """JIT tier of ops.residual.residual_pipeline (normalized cbf shape)."""
+    rec, nnz, cbf = residual_pipeline_frame(
+        src, pred, qscale, qshift, qoffset, dscale, dshift, tu=tu, tr_type=tr_type
+    )
+    return rec, nnz, cbf.reshape(-1)
+
+
 registry.register("forward_transform", Tier.JIT, forward_transform)
 registry.register("inverse_transform", Tier.JIT, inverse_transform)
 registry.register("inverse_transform_add", Tier.JIT, inverse_transform_add)
 registry.register("satd", Tier.JIT, satd)
 registry.register("ssd_grid", Tier.REF, ssd_grid_ref)
 registry.register("ssd_grid", Tier.JIT, ssd_grid)
+registry.register("residual_pipeline", Tier.JIT, _residual_pipeline_jit)

@@ -17,7 +17,8 @@ from .transform import (
     inverse_transform_add,
     add_residual,
 )
-from .pred_inter import pred_uni, pred_uni_16, pred_bi
+from .pred_inter import pred_uni, pred_uni_16, pred_bi, refine_qpel
+from .residual import residual_pipeline
 from .pred_intra import (
     pred_intra,
     pred_intra_dc,
@@ -42,6 +43,8 @@ _REF_OPS = {
     "pred_uni": pred_uni,
     "pred_bi": pred_bi,
     "pred_intra": pred_intra,
+    "refine_qpel": refine_qpel,
+    "residual_pipeline": residual_pipeline,
 }
 
 # Python-level (shape/branch-determining) argument positions per op; the
@@ -54,6 +57,7 @@ _STATIC = {
     "forward_transform": (1,),  # transform type
     "inverse_transform": (1,),
     "inverse_transform_add": (2,),
+    "residual_pipeline": (2, 3, 4, 5, 6, 7, 8),  # quant params, tu, tr_type
 }
 
 for _name, _fn in _REF_OPS.items():
@@ -64,7 +68,8 @@ __all__ = [
     "ssd", "ssd_linear", "satd",
     "quantize", "quantize_inverse", "reconstruct",
     "forward_transform", "inverse_transform", "inverse_transform_add", "add_residual",
-    "pred_uni", "pred_uni_16", "pred_bi",
+    "pred_uni", "pred_uni_16", "pred_bi", "refine_qpel",
+    "residual_pipeline",
     "pred_intra", "pred_intra_dc", "pred_intra_planar", "pred_intra_angular",
     "pred_intra_all_modes",
 ]

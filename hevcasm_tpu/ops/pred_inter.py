@@ -42,6 +42,7 @@ __all__ = [
     "pred_uni_16",
     "pred_bi",
     "pad_for",
+    "refine_qpel",
 ]
 
 # Luma 8-tap quarter-pel filters (pred_inter.c:57-63).
@@ -157,3 +158,41 @@ def pred_bi(
     r1 = pred_uni_16(window1, xfrac1, yfrac1, taps).astype(jnp.int32)
     v = (r0 + r1 + 64) >> 7
     return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+def refine_qpel(src_ctus: jnp.ndarray, windows: jnp.ndarray):
+    """Quarter-pel candidate sweep: interpolate all 16 (yf, xf) luma
+    fractions from the extended windows, score each by SAD against the
+    source blocks, and return the best.
+
+    src_ctus (n, b, b) uint8; windows (n, b+7, b+7) uint8 anchored at the
+    integer MV.  Returns (pred (n, b, b) uint8, frac (n,) int32 = yf*4+xf,
+    cost (n,) int32).  This is the REF tier of the fused-refinement op
+    family (JIT: kernels/interp_xla.py; PALLAS: kernels/interp_pallas.py) —
+    the encoder-side composition the reference's pred_uni tables exist to
+    serve (pred_inter.h:64-67).
+    """
+    from .sad import sad
+
+    b = src_ctus.shape[-1]
+    win32 = windows.astype(jnp.int32)
+    # Share the horizontal FIR across the four vertical fractions:
+    # 4 H passes + 16 V passes instead of 16 of each.
+    h_pass = [
+        _wrap16(_fir(win32, jnp.asarray(KERNEL8[xf]), axis=-1, out_len=b))
+        for xf in range(4)
+    ]  # each (n, b+7, b)
+    preds, costs = [], []
+    for yf in range(4):
+        cy = jnp.asarray(KERNEL8[yf])
+        for xf in range(4):
+            acc = _fir(h_pass[xf], cy, axis=-2, out_len=b)
+            p = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
+            preds.append(p)
+            costs.append(sad(src_ctus, p))
+    preds = jnp.stack(preds, axis=1)  # (n, 16, b, b)
+    costs = jnp.stack(costs, axis=1)  # (n, 16)
+    frac = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    pred = jnp.take_along_axis(preds, frac[:, None, None, None], axis=1)[:, 0]
+    cost = jnp.take_along_axis(costs, frac[:, None], axis=1)[:, 0]
+    return pred, frac, cost

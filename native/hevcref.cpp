@@ -1,10 +1,12 @@
 // hevcref: independent scalar C++ oracle for every hevcasm_tpu kernel
 // family.  Plays the role the C reference tier plays in kupix/hevcasm
 // (the golden model every optimised tier is compared against,
-// /root/reference/src/lib/hevcasm_test.c:96-104) — written from the HEVC
-// specification semantics, with the normative transform matrices typed
-// literally, so it is an implementation-independent bit-exactness check on
-// the JAX/Pallas tiers.
+// /root/reference/src/lib/hevcasm_test.c:96-104).  The transform/filter
+// tables are the normative HEVC matrices typed literally; the SATD
+// butterfly and quantizer are hevcasm-specific semantics transcribed from
+// hadamard.c:45-111 / quantize.c:160-186 (cited at each function), so this
+// file is an independent *implementation* of the same contracts, serving
+// as a bit-exactness check on the JAX/Pallas tiers.
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 // All 2-D buffers are contiguous row-major with explicit strides in
