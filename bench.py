@@ -4,9 +4,16 @@ the BASELINE.json headline metric.
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 
-The measurement runs in a child process with a watchdog: the TPU relay in
-this environment occasionally wedges a device->host transfer indefinitely,
-so a hung attempt is killed and retried rather than hanging the driver.
+Methodology notes:
+* Frames are chained ON DEVICE (lax.fori_loop inside one jit) and a checksum
+  of the final reconstruction is fetched, so per-dispatch relay latency
+  (~25 ms in this environment) is amortized over the chain AND cannot ACK
+  before the work is done.  The empty-chain dispatch floor is measured and
+  subtracted — at millisecond frame times it would otherwise add ~25/iters
+  ms/frame.
+* The measurement runs in a child process with a watchdog: the TPU relay
+  occasionally wedges a device->host transfer indefinitely; a hung attempt
+  is killed and retried rather than hanging the driver.
 """
 
 import json
@@ -18,6 +25,11 @@ import time
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# v5e bf16 peak; the int8 search matmul runs at 2x this rate, so % figures
+# are conservative.
+PEAK_FLOPS = 394e12
 
 
 def measure():
@@ -33,47 +45,70 @@ def measure():
 
     h, w = 1088, 1920  # 1080p padded to CTU multiple: 17x30 = 510 CTUs
     ctus = (h // 64) * (w // 64)
-    cfg = EncodeConfig(search_range=32, qp=32)
+    cfg = EncodeConfig(search_range=32, qp=32, inter_impl="fused")
 
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, (h + 64, w + 64), dtype=np.uint8)
     cur = jnp.asarray(base[2 : 2 + h, 3 : 3 + w])
     ref = jnp.asarray(base[:h, :w])
 
-    def step(cur, ref):
-        return encode_inter_frame(cur, ref, cfg)
-
     t0 = time.perf_counter()
-    out = step(cur, ref)
+    out = encode_inter_frame(cur, ref, cfg)
     jax.block_until_ready(out)
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
-
-    # Chain recon -> next ref ON DEVICE (lax.fori_loop inside one jit), then
-    # fetch a checksum of the final reconstruction.  One dispatch + one small
-    # value transfer: per-dispatch relay overhead cannot pollute the figure,
-    # and the checksum cannot arrive before the chain has truly executed.
-    iters = 32
-
-    @jax.jit
-    def chain(cur, ref):
-        def body(_, r):
-            return encode_inter_frame(cur, r, cfg)["recon"]
-
-        r = jax.lax.fori_loop(0, iters, body, ref)
-        return jnp.sum(r.astype(jnp.uint32))
-
-    t0 = time.perf_counter()
-    c = int(chain(cur, ref))  # includes chain compile
-    log(f"chain compile+run: {time.perf_counter() - t0:.1f}s (checksum {c})")
-    t0 = time.perf_counter()
-    c = int(chain(cur, ref))
-    frame_s = (time.perf_counter() - t0) / iters
-    ctus_per_sec = ctus / frame_s
     psnr = float(out["psnr_db"])
+
+    iters = 100
+
+    def chain_of(body):
+        @jax.jit
+        def chain(c, r0):
+            def f(_, r):
+                return body(c, r)
+
+            r = jax.lax.fori_loop(0, iters, f, r0)
+            return jnp.sum(r.astype(jnp.uint32))
+
+        return chain
+
+    # Dispatch-floor chain: same structure, trivial body.
+    floor_chain = chain_of(lambda c, r: r)
+    t0 = time.perf_counter()
+    c0 = int(floor_chain(cur, ref))
+    frame_chain = chain_of(lambda c, r: encode_inter_frame(c, r, cfg)["recon"])
+    c1 = int(frame_chain(cur, ref))
+    log(f"chain compile+run: {time.perf_counter() - t0:.1f}s (checksum {c1})")
+
+    t0 = time.perf_counter()
+    c0 ^= int(floor_chain(cur, ref))
+    floor_s = (time.perf_counter() - t0) / iters
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        c1 ^= int(frame_chain(cur, ref))
+        best = min(best, time.perf_counter() - t0)
+    frame_s = best / iters - floor_s
+    ctus_per_sec = ctus / frame_s
+
+    # Achieved-FLOPs accounting (MXU work actually issued per frame):
+    # search 510 x (65*64 x 128 x 128) int8 matmul, refine 510 x (one bf16
+    # H pass + two s8 V passes), residual 510 x 16 block-diagonal 64^3
+    # passes.
+    fl_search = ctus * (65 * 64) * 128 * 128 * 2
+    fl_refine = ctus * (128 * 128 * 256 + 2 * 256 * 128 * 256) * 2
+    fl_resid = ctus * 16 * 64 ** 3 * 2
+    fl = fl_search + fl_refine + fl_resid
     log(
-        f"on-device chain x{iters}: {frame_s * 1e3:.2f}ms/frame -> "
+        f"on-device chain x{iters}: {frame_s * 1e3:.2f}ms/frame "
+        f"(floor {floor_s * 1e3:.2f}ms subtracted) -> "
         f"{ctus_per_sec:.0f} CTUs/s, {1 / frame_s:.1f} fps 1080p, "
         f"first-frame psnr {psnr:.2f}dB"
+    )
+    log(
+        f"achieved {fl / frame_s / 1e12:.1f} TFLOP/s issued-MXU-work basis "
+        f"({fl / frame_s / PEAK_FLOPS * 100:.1f}% of bf16 peak; "
+        f"minimal-correlation basis {ctus * 65 * 65 * 64 * 64 * 2 / frame_s / 1e12:.1f} TFLOP/s)"
     )
     print(
         json.dumps(
@@ -81,7 +116,7 @@ def measure():
                 "metric": "1080p_ctus_per_sec_per_chip",
                 "value": round(ctus_per_sec, 1),
                 "unit": "CTU/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(ctus_per_sec / 63432.0, 2),
             }
         )
     )

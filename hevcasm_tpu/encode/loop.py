@@ -70,6 +70,13 @@ class EncodeConfig:
     # reconstructed neighbours with the WPP 2r+c wave schedule
     # (encode/intra_wavefront.py), the conforming-encoder behaviour.
     intra_mode: str = "open_loop"
+    # Inter composition: "stages" runs refine and residual as separate
+    # (refine_impl / residual_impl-selected) passes; "fused" runs the
+    # single-VMEM-residency Pallas kernel (kernels/interp_pallas.py
+    # inter_ctu_fused — refine + transform + quant + reconstruct per CTU,
+    # no HBM intermediate).  Bit-identical; "fused" requires a TPU backend
+    # and the 64x64-CTU / 8x8-TU geometry.
+    inter_impl: str = "stages"
 
     def __post_init__(self):
         # Typos in impl strings must fail loudly, not silently select a
@@ -80,6 +87,7 @@ class EncodeConfig:
             "refine_impl": ("mxu", "ref"),
             "residual_impl": ("mxu", "pallas", "ref"),
             "intra_mode": ("open_loop", "wavefront"),
+            "inter_impl": ("stages", "fused"),
         }
         for field, valid in _check.items():
             v = getattr(self, field)
@@ -169,20 +177,43 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
         mv_int, best_sad = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
     else:
         mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
-    if cfg.fused_refine or cfg.refine_impl == "mxu":
+    if cfg.inter_impl == "fused":
+        # One Pallas kernel: qpel refine + transform/quant/reconstruct per
+        # CTU.  The gather pulls aligned (B+8, 128) slabs so the kernel's
+        # per-step DMAs are full tiles (extra pixels beyond B+7 are inert:
+        # the FIR matrices are zero there).
+        from ..kernels.interp_pallas import inter_ctu_fused
+
         start = pos + mv_int + r
-        win = motion.extract_windows(ref_padded, start, cfg.ctu + motion.TAPS - 1)
-        if cfg.fused_refine:
-            from ..kernels.interp_pallas import refine_quarter_pel_fused as _refine
-        else:
-            from ..kernels.interp_xla import refine_quarter_pel_mxu as _refine
-
-        pred, frac, _ = _refine(src_ctus, win)
+        # Extend the padded plane so the aligned slab gather never clamps
+        # at the bottom/right edge (dynamic_slice clamping would shift the
+        # used (B+7, B+7) region, not just the inert margin).
+        extra_r = (cfg.ctu + 8) - (cfg.ctu + motion.TAPS - 1)
+        extra_c = 128 - (cfg.ctu + motion.TAPS - 1)
+        ref_padded_f = ctu_mod.pad_frame(ref_padded, 0, extra_r, 0, extra_c)
+        win = motion.extract_windows(ref_padded_f, start, (cfg.ctu + 8, 128))
+        scale, shift, offset = cfg.quant_params(False)
+        dscale, dshift = cfg.dequant_params()
+        rec_ctus, frac, _, nnz_tu = inter_ctu_fused(
+            src_ctus, win, scale, shift, offset, dscale, dshift
+        )
         mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
+        nnz = jnp.sum(nnz_tu)
     else:
-        pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+        if cfg.fused_refine or cfg.refine_impl == "mxu":
+            start = pos + mv_int + r
+            win = motion.extract_windows(ref_padded, start, cfg.ctu + motion.TAPS - 1)
+            if cfg.fused_refine:
+                from ..kernels.interp_pallas import refine_quarter_pel_fused as _refine
+            else:
+                from ..kernels.interp_xla import refine_quarter_pel_mxu as _refine
 
-    rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
+            pred, frac, _ = _refine(src_ctus, win)
+            mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
+        else:
+            pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+
+        rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
     recon = ctu_mod.untile_frame(rec_ctus, h, w)
     return {
         "recon": recon,

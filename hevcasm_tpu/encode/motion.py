@@ -54,14 +54,17 @@ def ctu_positions(grid_rows: int, grid_cols: int, ctu: int) -> jnp.ndarray:
     return jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1).astype(jnp.int32)
 
 
-def extract_windows(plane: jnp.ndarray, positions: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Gather a (size, size) window at each position from a 2-D plane.
+def extract_windows(plane: jnp.ndarray, positions: jnp.ndarray,
+                    size: int | tuple[int, int]) -> jnp.ndarray:
+    """Gather a (sy, sx) window at each position from a 2-D plane.
 
-    positions are top-left coords into `plane`.  Returns (n, size, size).
+    positions are top-left coords into `plane`; `size` is an int (square)
+    or (rows, cols).  Returns (n, sy, sx).
     """
+    sy, sx = (size, size) if isinstance(size, int) else size
 
     def one(pos):
-        return jax.lax.dynamic_slice(plane, (pos[0], pos[1]), (size, size))
+        return jax.lax.dynamic_slice(plane, (pos[0], pos[1]), (sy, sx))
 
     return jax.vmap(one)(positions)
 

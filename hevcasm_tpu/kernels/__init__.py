@@ -14,6 +14,7 @@ from . import interp_xla  # noqa: F401
 
 try:  # Pallas kernels need a TPU-capable backend; degrade gracefully.
     from . import sad_pallas  # noqa: F401
+    from . import search_pallas  # noqa: F401
     from . import interp_pallas  # noqa: F401
     from . import residual_pallas  # noqa: F401
 except Exception:  # pragma: no cover

@@ -1,20 +1,34 @@
-"""Fused Pallas quarter-pel refinement kernel.
+"""Fused Pallas quarter-pel refinement kernel (MXU formulation).
 
-Per CTU, entirely in VMEM: 4 shared horizontal FIR passes, 16 vertical FIR
-passes, 16 SAD scores, and a running argmin — emitting only the best
-prediction and its fraction index.  This is the Pallas analogue of the
-reference's width-specialised interp asm (pred_inter_a.asm:174-443) composed
-with its own consumers' candidate scoring: one HBM read of (src, window), one
-write of (pred, frac), no 16-candidate intermediate ever touching HBM.
+Per CTU, entirely in VMEM: the 16 fractional candidates are produced by
+THREE matmuls and scored without any HBM intermediate:
 
-Zero-coefficient taps are skipped at trace time (the kernel unrolls over
-static fractions), so e.g. the copy row [0,0,0,64,0,0,0,0] costs one shift.
+  H:  win (128, 128) @ BX (128, 256)          one bf16 pass shared by all
+      yFracs — BX stacks the 4 xFrac banded FIR matrices along N
+      (products <= 64*255, 8-tap sums < 2^18: f32 exact), then the
+      intermediate is wrapped to int16 (pred_inter.c:124 semantics).
+  V:  AY (256, 128) @ inter (128, 256)        TWO s8 x s8 -> s32 matmuls
+      (hi / lo-128 byte split of the int16 intermediate; the +-128 lo
+      offset folds into a constant because every HEVC 8-tap phase sums
+      to 64) — AY stacks the 4 yFrac matrices along M, so the single
+      (256, 256) product holds all 16 candidate predictions in 64x64
+      quadrants.
+
+Scoring: |src - pred| row-block sums (VPU) then a tiny 0/1 f32 matmul to
+(4, 4); selection by first-minimum linear index (matching the jnp path's
+tie-break); the winning quadrant is extracted with two dynamic rotates.
+
+This is the Pallas analogue of the reference's width-specialised interp asm
+(pred_inter_a.asm:174-443) composed with its own consumers' candidate
+scoring: one HBM read of (src, window), one write of (pred, frac), no
+16-candidate intermediate ever touching HBM.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -22,67 +36,128 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.pred_inter import KERNEL8
 
-__all__ = ["refine_quarter_pel_fused"]
+__all__ = ["refine_quarter_pel_fused", "inter_ctu_fused"]
 
 TAPS = 8
+_LW = 128
 
 
-def _kernel(src_ref, win_ref, pred_ref, frac_ref, cost_ref, *, b):
-    src = src_ref[0].astype(jnp.int32)           # (b, b)
-    win = win_ref[0].astype(jnp.int32)           # (b+7, b+7)
-
-    # Horizontal passes, one per xFrac, shared across yFrac (int16 wrap
-    # matches the 8to16 intermediate store semantics, pred_inter.c:124).
-    hp = []
-    for xf in range(4):
-        acc = None
-        for k in range(TAPS):
-            c = int(KERNEL8[xf][k])
-            if c == 0:
-                continue
-            term = c * win[:, k : k + b]
-            acc = term if acc is None else acc + term
-        hp.append(acc.astype(jnp.int16).astype(jnp.int32))  # (b+7, b)
-
-    best_cost = jnp.int32(1 << 30)
-    best_pred = jnp.zeros((b, b), jnp.uint8)
-    best_idx = jnp.int32(0)
-    for yf in range(4):
-        for xf in range(4):
-            acc = None
-            for k in range(TAPS):
-                c = int(KERNEL8[yf][k])
-                if c == 0:
-                    continue
-                term = c * hp[xf][k : k + b, :]
-                acc = term if acc is None else acc + term
-            pred = jnp.clip((acc + 2048) >> 12, 0, 255)
-            cost = jnp.sum(jnp.abs(src - pred))
-            better = cost < best_cost
-            idx = yf * 4 + xf
-            best_pred = jnp.where(better, pred.astype(jnp.uint8), best_pred)
-            best_idx = jnp.where(better, jnp.int32(idx), best_idx)
-            best_cost = jnp.where(better, cost, best_cost)
-
-    pred_ref[0] = best_pred
-    frac_ref[...] = best_idx.reshape(1, 1, 1)
-    cost_ref[...] = best_cost.reshape(1, 1, 1)
+def _banded(coef, in_len: int, out_len: int) -> np.ndarray:
+    """B[x, o] = coef[x - o] for 0 <= x - o < TAPS, else 0."""
+    b = np.zeros((in_len, out_len), np.int32)
+    for o in range(out_len):
+        b[o : o + TAPS, o] = coef
+    return b
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.lru_cache
+def _fir_matrices(b: int):
+    """(BX (LW, 4b) bf16-able, AY (4b, LW) int8-able) stacked FIR matrices."""
+    bx = np.concatenate([_banded(KERNEL8[xf], _LW, b) for xf in range(4)], axis=1)
+    ay = np.concatenate([_banded(KERNEL8[yf], _LW, b).T for yf in range(4)], axis=0)
+    return bx, ay
+
+
+def _wrap16(x):
+    """int32 -> int16 wraparound, kept in int32 lanes."""
+    return (x << 16) >> 16
+
+
+def _refine_core(src, win, bx_ref, ay_ref, *, b):
+    """src (b, b) int32, win (LW, LW) int32 zero-padded beyond (b+7, b+7).
+
+    Returns (best_pred (b, b) int32, best_idx scalar int32, best_cost
+    scalar int32)."""
+    m4 = 4 * b
+
+    # H pass: one bf16 matmul for all 4 xFracs; exact (sums < 2^18).
+    inter = jax.lax.dot_general(
+        win.astype(jnp.bfloat16), bx_ref[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                       # (LW, 4b)
+    inter = _wrap16(inter)                    # int16 intermediate store
+
+    # V pass: two s8 matmuls over the hi / (lo - 128) byte split.
+    hi = (inter >> 8).astype(jnp.int8)
+    lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
+    ay = ay_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
+    ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
+    acc = 256 * mh + ml + 128 * 64            # (4b, 4b); sum(coef) == 64
+    preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+
+    # SAD per bxb quadrant: sublane-block row sums (cheap reshape), then a
+    # transpose so the lane-block sums also become a sublane reshape-sum —
+    # all int32, exact.
+    diff = jnp.abs(preds - jnp.tile(src, (4, 4)))          # (4b, 4b)
+    rowsum = jnp.sum(diff.reshape(4, b, m4), axis=1)       # (4, 4b) [yf, xf*b+o]
+    colsum = jnp.sum(rowsum.T.reshape(4, b, 4), axis=1)    # (4, 4) [xf, yf]
+    sad = colsum.T                                         # (4, 4) [yf, xf]
+
+    best_cost = jnp.min(sad)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    lin = yy * 4 + xx
+    best_idx = jnp.min(jnp.where(sad == best_cost, lin, 1 << 30))
+
+    # Extract the winning quadrant with two dynamic rotates + static slice.
+    yf, xf = best_idx // 4, best_idx % 4
+    sel = pltpu.roll(preds, (4 - yf) * b % m4, axis=0)   # left by yf*b
+    sel = pltpu.roll(sel, (4 - xf) * b % m4, axis=1)     # left by xf*b
+    return sel[:b, :b], best_idx, best_cost
+
+
+def _aligned_windows(windows, b):
+    """Pad gathered refine windows to the aligned (n, b+8, LW) slab.
+
+    Only the top-left (b+7, b+7) region is ever *used*: BX rows / AY columns
+    beyond b+6 are zero, so any extra content (neighbouring frame pixels
+    when the gather already produces aligned slabs, or this zero padding)
+    contributes nothing.  Aligned block sizes keep the per-step DMAs full
+    tiles instead of masked partial tiles."""
+    n, wh, ww = windows.shape
+    rh = b + 8
+    assert wh >= b + 7 and ww >= b + 7
+    if wh == rh and ww == _LW:
+        return windows
+    pad_r = max(0, rh - wh)
+    pad_c = max(0, _LW - ww)
+    return jnp.pad(windows, ((0, 0), (0, pad_r), (0, pad_c)))[:, :rh, :_LW]
+
+
+def _kernel(src_ref, win_ref, bx_ref, ay_ref,
+            pred_ref, frac_ref, cost_ref, *, b):
+    src = src_ref[0].astype(jnp.int32)                     # (b, b)
+    win = win_ref[0].astype(jnp.int32)                     # (b+8, LW)
+    win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
+    pred, idx, cost = _refine_core(src, win, bx_ref, ay_ref, b=b)
+    pred_ref[0] = pred.astype(jnp.uint8)
+    frac_ref[...] = idx.reshape(1, 1, 1)
+    cost_ref[...] = cost.reshape(1, 1, 1)
+
+
+@jax.jit
 def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
-    """src_ctus (n, b, b) uint8, windows (n, b+7, b+7) uint8 at the integer
-    MV.  Returns (pred (n, b, b) uint8, frac_idx (n,) int32 = yf*4+xf,
-    cost (n,) int32), matching motion.refine_quarter_pel's selection
-    (first-minimum tie-breaking) bit-exactly."""
+    """src_ctus (n, b, b) uint8, windows (n, >=b+7, >=b+7) uint8 at the
+    integer MV.  Returns (pred (n, b, b) uint8, frac_idx (n,) int32 =
+    yf*4+xf, cost (n,) int32), matching motion.refine_quarter_pel's
+    selection (first-minimum tie-breaking) bit-exactly."""
     n, b, _ = src_ctus.shape
+    assert b + TAPS <= _LW, "CTU + taps must fit the 128 slab"
+    windows = _aligned_windows(windows, b)
+    bx, ay = _fir_matrices(b)
+    bx = jnp.asarray(bx).astype(jnp.bfloat16)
+    ay = jnp.asarray(ay).astype(jnp.int8)
     kernel = functools.partial(_kernel, b=b)
     pred, frac, cost = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b + 7, b + 7), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b + 8, _LW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, 4 * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, _LW), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -95,8 +170,84 @@ def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
             jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(src_ctus, windows)
+    )(src_ctus, windows, bx, ay)
     return pred, frac[:, 0, 0], cost[:, 0, 0]
+
+
+def _inter_kernel(src_ref, win_ref, bx_ref, ay_ref, bd_ref, pool_ref,
+                  rec_ref, frac_ref, cost_ref, nnz_ref, *, b, qscale, qshift,
+                  qoffset, dscale, dshift):
+    from .residual_pallas import residual_core
+
+    src = src_ref[0].astype(jnp.int32)                     # (b, b)
+    win = win_ref[0].astype(jnp.int32)                     # (b+8, LW)
+    win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
+    pred, idx, cost = _refine_core(src, win, bx_ref, ay_ref, b=b)
+    rec, cnt = residual_core(
+        src, pred, bd_ref[...], pool_ref[...],
+        qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    rec_ref[0] = rec.astype(jnp.uint8)
+    frac_ref[...] = idx.reshape(1, 1, 1)
+    cost_ref[...] = cost.reshape(1, 1, 1)
+    nnz_ref[0] = cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift"),
+)
+def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
+                    dshift):
+    """Fused quarter-pel refine + full residual pipeline, one VMEM
+    residency per CTU: the best of the 16 fractional predictions never
+    touches HBM before being transformed/quantized/reconstructed.
+
+    src_ctus (n, 64, 64) uint8, windows (n, >=71, >=71) uint8 at the
+    integer MV.  Returns (recon (n, 64, 64) uint8, frac (n,) int32,
+    cost (n,) int32, nnz_tu (n, 8, 8) int32); bit-exact with
+    refine_quarter_pel_fused composed with residual_pipeline_ctu."""
+    from .residual_pallas import block_diag_t8
+
+    n, b, _ = src_ctus.shape
+    assert b == 64, "fused inter kernel covers the 64x64-CTU/8x8-TU geometry"
+    windows = _aligned_windows(windows, b)
+    bx, ay = _fir_matrices(b)
+    bx = jnp.asarray(bx).astype(jnp.bfloat16)
+    ay = jnp.asarray(ay).astype(jnp.int8)
+    bd = jnp.asarray(block_diag_t8()).astype(jnp.bfloat16)
+    pool = jnp.asarray(np.kron(np.eye(8, dtype=np.float32), np.ones((1, 8), np.float32)))
+    kernel = functools.partial(
+        _inter_kernel, b=b, qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    rec, frac, cost, nnz = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b + 8, _LW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, 4 * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, _LW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, b, b), jnp.uint8),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 8, 8), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(src_ctus, windows, bx, ay, bd, pool)
+    return rec, frac[:, 0, 0], cost[:, 0, 0], nnz
 
 
 from .. import registry as _registry

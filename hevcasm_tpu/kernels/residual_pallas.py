@@ -60,11 +60,13 @@ def _wrap16(x):
     return x.astype(jnp.int16).astype(jnp.int32)
 
 
-def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
-            qshift, qoffset, dscale, dshift):
-    bd = bd_ref[...]
-    src = src_ref[0].astype(jnp.int32)
-    pred = pred_ref[0].astype(jnp.int32)
+def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
+                  dshift):
+    """The fused TU pipeline on one CTU, reusable from other Pallas kernels
+    (e.g. the fused inter kernel, kernels/interp_pallas.py).
+
+    src/pred (64, 64) int32 -> (recon (64, 64) int32 in [0, 255],
+    nnz (8, 8) int32 per-TU coded-coefficient counts)."""
     res = src - pred
 
     # Forward DCT 8x8 per TU, transpose-free composite with the SAME
@@ -85,10 +87,8 @@ def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
     # pooling sandwich P @ nz @ P^T with P = kron(I8, ones(1,8)) — counts
     # <= 64 so f32 accumulation is exact.
     nz = (q != 0).astype(jnp.float32)
-    p = pool_ref[...]
-    cnt = jnp.dot(jnp.dot(p, nz, preferred_element_type=jnp.float32), p.T,
+    cnt = jnp.dot(jnp.dot(pool, nz, preferred_element_type=jnp.float32), pool.T,
                   preferred_element_type=jnp.float32)
-    nnz_ref[0] = cnt.astype(jnp.int32)
 
     # Dequantize (quantize.c:53-62).
     dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
@@ -99,7 +99,19 @@ def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
     r1 = jnp.clip((_mm(bd.T, dq) + 64) >> 7, -32768, 32767)
     r2 = jnp.clip((_mm_t(r1, bd.T) + 2048) >> 12, -32768, 32767)
 
-    out_ref[0] = jnp.clip(pred + r2, 0, 255).astype(jnp.uint8)
+    return jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32)
+
+
+def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
+            qshift, qoffset, dscale, dshift):
+    rec, cnt = residual_core(
+        src_ref[0].astype(jnp.int32), pred_ref[0].astype(jnp.int32),
+        bd_ref[...], pool_ref[...],
+        qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    nnz_ref[0] = cnt
+    out_ref[0] = rec.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift"))

@@ -1,39 +1,39 @@
-"""Pallas TPU full-search kernel: the exact-integer SSD candidate grid of a
-whole CTU computed in one VMEM residency, MXU-fed.
+"""Pallas full-search SSD-grid kernel: rolled-source formulation.
 
-This is the TPU answer to the reference's motion-search inner loop
-(sad_a.asm:56-194 keeps 4 accumulators in ymm registers and streams rows;
-here the whole (2R+1)^2 grid of one CTU is produced by B-row matmuls while
-the search window never leaves VMEM).
+An earlier revision sliced the *window* per dx (128-row unaligned lane
+slices + K-augmented matmuls + a scratch round trip); on hardware that VPU
+overhead dominated and it lost to the XLA scan.  This design reduces the
+whole CTU to ONE full-tile MXU matmul plus a small number of vectorized
+VPU passes:
 
-Formulation (bit-exact integer SSD, derivation):
+  1. Rolled-source stack: A[dx, y, x'] = sc[y, x'-dx], built by log2(num_dx)
+     doubling steps (roll the whole accumulated stack by 2^k and append) —
+     NOT num_dx serial one-lane rolls, whose dependency chain dominates the
+     kernel.  Rolls are int32 (Mosaic's dynamic_rotate requires 32-bit data).
+  2. One matmul  G = A.reshape(num_dx*b, ww) @ wc^T  -> (num_dx*b, wh).
+     Operands are int8 (centered pixels fit [-128,127]): the MXU's native
+     s8 x s8 -> s32 path, exact by construction, 2x the bf16 rate, and half
+     the operand traffic.  (mm="bf16" keeps the bf16/f32 path, whose K<=128
+     accumulations of 15-bit products are also exact — no hi/lo split.)
+  3. Diagonal band corr[dx, dy] = sum_y G[dx, y, y+dy] via a halving
+     shift-reduce tree: log2(b) levels of  lower_half + roll(upper_half),
+     each level halving the data — ~4 MB of VMEM traffic per CTU instead of
+     the ~25 MB of the masked-roll formulation (band="rolls").
+  4. Window-energy sliding sums from two integer shift-add prefix sums,
+     once per CTU on the VPU (v1 folded these into the matmul via
+     K-augmentation, 3x the FLOPs).
 
-  SSD(dy,dx) = sum_{y,x} (s[y,x] - w[y+dy, x+dx])^2
-             = sum sc^2  +  slide(wc^2)  -  2 corr          (center-invariant,
-  with sc = s-128, wc = w-128 so both fit exactly in bf16)
+SSD(dy,dx) = sum(sc^2) + slide_{b x b}(wc^2)(dy,dx) - 2*corr(dy,dx), with
+sc = src-128, wc = win-128 (center-invariant).  Output is bit-exact integer
+SSD, equal to ops/xla_opt ssd_grid and the jnp REF (tests/test_pallas.py).
+Measured (v5e, 510 CTUs, +-32, dispatch-floor-corrected): 1.33 ms/frame vs
+3.43 ms for the XLA-scan formulation; the v1 window-sliced kernel measured
+~6 ms.  The energy cumsums cost ~0.18 ms, the stack build ~0.56 ms and the
+band tree ~0.60 ms of that; the int8 matmul itself pipelines to ~0.
 
-The energy term is folded INTO the correlation matmul by augmenting the
-contraction axis (K = 3B instead of B):
-
-  A      = [ 2*sc | -256*ones | -ones ]          (B, 3B)   bf16
-  W_dx   = [ wc[:,dx:dx+B] | w2hi | w2lo ]       (WH, 3B)  bf16
-  G_dx   = A . W_dx^T                            (B, WH)   f32
-
-where w2 = wc*wc = 256*w2hi + w2lo (8-bit halves, exactly representable in
-bf16).  Then G_dx[y, yy] = 2*corr_row - row_energy, every product <= 2^15 and
-every K<=192 accumulation <= 2^23: the f32 MXU result is exact and integer.
-Converting to int32 and reducing the diagonal band
-
-  out[dx, dy] = srcsq - sum_y G_dx[y, y+dy]      (int32, exact)
-
-yields the SSD grid.  The diagonal reduction is B static slice-adds of the
-(num_dx, num_dy) plane from VMEM scratch — pure data movement.
-
-Bit-exact with ops/xla_opt ssd_grid (tests/test_search_pallas.py); ~3x the
-minimal FLOPs (K-augmentation + row-pair overcompute) in exchange for zero
-HBM intermediates — the XLA-scan formulation (kernels/xla_opt.ssd_grid)
-materializes ~4 GB of per-step intermediates per 1080p frame and is
-bandwidth-bound ~20x slower.
+Reference analogue: the 4-accumulator psadbw hot loop sad_a.asm:56-194 —
+here the accumulators are the MXU itself and the whole (2R+1)^2 grid of one
+CTU is produced per VMEM residency.
 """
 
 from __future__ import annotations
@@ -51,66 +51,156 @@ from ..config import Tier
 __all__ = ["ssd_grid"]
 
 
-_GROUP = 8  # dx values per scratch refill; bounds live VMEM to ~256 KB
+def _cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive prefix sum via log2(n) shift-adds (Mosaic has no cumsum)."""
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    shift = 1
+    while shift < n:
+        shifted = pltpu.roll(x, shift, axis=axis)
+        x = x + jnp.where(idx >= shift, shifted, 0)
+        shift *= 2
+    return x
 
 
-def _kernel(src_ref, win_ref, out_ref, g_ref, *, b, num_dy, num_dx, wh):
-    si = src_ref[0].astype(jnp.int32) - 128
-    wi = win_ref[0].astype(jnp.int32) - 128
+def _slide(cs: jnp.ndarray, b: int, axis: int) -> jnp.ndarray:
+    """Sliding-b window sums from an inclusive prefix sum along `axis`:
+    out[i] = cs[i+b-1] - cs[i-1] (cs[-1] := 0), valid for i <= n-b.
+    Full-width masked rolls only — Mosaic rejects pads/concats of
+    unaligned lane slices.
+    """
+    n = cs.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, cs.shape, axis)
+    hi = pltpu.roll(cs, (n - (b - 1)) % n, axis=axis)   # hi[i] = cs[i+b-1]
+    lo = pltpu.roll(cs, 1, axis=axis)                    # lo[i] = cs[i-1]
+    return hi - jnp.where(idx >= 1, lo, 0)
+
+
+def _build_stack_serial(a32: jnp.ndarray, num_dx: int) -> jnp.ndarray:
+    """(b, ww) -> (num_dx*b, ww): slab dx = input rolled right by dx."""
+    parts = []
+    for dx in range(num_dx):
+        parts.append(a32)
+        if dx + 1 < num_dx:
+            a32 = pltpu.roll(a32, 1, axis=1)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _build_stack_double(a32: jnp.ndarray, num_dx: int) -> jnp.ndarray:
+    """Same stack via log2(num_dx) doubling steps: roll the whole
+    accumulated stack (shifts 0..m-1) right by m to get shifts m..2m-1."""
+    b = a32.shape[0]
+    stk = a32
+    m = 1
+    while m < num_dx:
+        take = min(m, num_dx - m)
+        ext = pltpu.roll(stk[: take * b], m, axis=1)
+        stk = jnp.concatenate([stk, ext], axis=0)
+        m += take
+    return stk
+
+
+def _band_rolls(g: jnp.ndarray, b: int, num_dx: int, num_dy: int, wh: int) -> jnp.ndarray:
+    """corr[dx, dy] = sum_y g[dx*b+y, y+dy] by rolling row y left by y
+    (log2(b) masked power-of-two rolls), then a sublane reduction."""
+    yrow = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, g.shape, 0), jnp.int32(b)
+    )
+    shift = 1
+    while shift < b:
+        rolled = pltpu.roll(g, (wh - shift) % wh, axis=1)
+        g = jnp.where((yrow & shift) != 0, rolled, g)
+        shift *= 2
+    return jnp.sum(g.reshape(num_dx, b, wh), axis=1)[:, :num_dy]
+
+
+def _band_tree(g: jnp.ndarray, b: int, num_dx: int, num_dy: int, wh: int) -> jnp.ndarray:
+    """Same band via a halving shift-reduce tree: R[dy] = sum_y G[y, y+dy]
+    = sum_{y<h} (G[y] + roll_left_h(G[y+h]))[y+dy] with h = b/2, recursed.
+    Each level halves the live data; the needed column range (<= 64 + rows)
+    always stays clear of the roll's wrap-around garbage."""
+    g3 = g.reshape(num_dx, b, wh)
+    rows = b
+    while rows > 1:
+        half = rows // 2
+        lower = g3[:, :half, :]
+        upper = pltpu.roll(g3[:, half:, :], (wh - half) % wh, axis=2)
+        g3 = lower + upper
+        rows = half
+    return g3[:, 0, :num_dy]
+
+
+_LW = 128  # fixed lane width: rolls/concats of lane-padded (<128) layouts
+           # are rejected by Mosaic, and zero padding contributes zeros to
+           # every contraction and sliding sum below.
+
+
+def _kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx, wh, ww,
+            stack, band, mm):
+    si = src_ref[0].astype(jnp.int32) - 128          # (b, b)
+    wi = win_ref[0].astype(jnp.int32) - 128          # (wh, ww)
+    # Zero-pad the window to the fixed (LW, LW) slab (beyond-edge rows and
+    # columns contribute zero products / zero energy and are never read).
+    wi = jnp.pad(wi, ((0, _LW - wh), (0, _LW - ww)))
 
     srcsq = jnp.sum(si * si)
 
-    w2 = wi * wi                       # <= 16384
-    wc = wi.astype(jnp.bfloat16)
-    w2hi = (w2 >> 8).astype(jnp.bfloat16)   # <= 64
-    w2lo = (w2 & 255).astype(jnp.bfloat16)  # <= 255
+    # --- window energy: sliding (b, b) sums of wc^2, via two cumsums -------
+    # Computed transposed (x-major) so the result lands in the kernel's
+    # [dx, dy] output orientation with no final transpose of a sliced value.
+    w2t = (wi * wi).T                                # (LW, LW)
+    sl0 = _slide(_cumsum(w2t, axis=0), b, axis=0)    # rows dx valid < num_dx
+    eyt = _slide(_cumsum(sl0, axis=1), b, axis=1)    # (LW, LW); [dx, dy] valid
 
-    a = jnp.concatenate(
-        [
-            (2 * si).astype(jnp.bfloat16),
-            jnp.full((b, b), -256.0, jnp.bfloat16),
-            jnp.full((b, b), -1.0, jnp.bfloat16),
-        ],
-        axis=1,
-    )  # (b, 3b)
+    # --- rolled source stack (int32 rolls; Mosaic can't rotate sub-32-bit) -
+    a32 = jnp.pad(si, ((0, 0), (0, _LW - b)))        # (b, LW)
+    build = _build_stack_double if stack == "double" else _build_stack_serial
+    amat = build(a32, num_dx)                        # (num_dx*b, LW)
 
-    dn = (((1,), (1,)), ((), ()))  # contract K: A (b, 3b) x W (wh, 3b) -> (b, wh)
-    # Static unroll (Mosaic wants static lane slices), in groups so the
-    # scratch and the unrolled matmuls' temporaries stay small.
-    for k in range(0, num_dx, _GROUP):
-        gsz = min(_GROUP, num_dx - k)
-        for r in range(gsz):
-            dx = k + r
-            w_cat = jnp.concatenate(
-                [wc[:, dx : dx + b], w2hi[:, dx : dx + b], w2lo[:, dx : dx + b]],
-                axis=1,
-            )  # (wh, 3b)
-            g = jax.lax.dot_general(a, w_cat, dn, preferred_element_type=jnp.float32)
-            g_ref[r] = g.astype(jnp.int32)  # exact: |G| < 2^23, integer-valued
+    # --- one matmul over the whole stack -----------------------------------
+    if mm == "int8":
+        g = jax.lax.dot_general(
+            amat.astype(jnp.int8), wi.astype(jnp.int8),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                            # (num_dx*b, wh) exact
+    else:
+        g = jax.lax.dot_general(
+            amat.astype(jnp.bfloat16), wi.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
 
-        # out[dx, dy] = srcsq - sum_y G[dx, y, y+dy]: diagonal-band adds.
-        acc = jnp.zeros((gsz, num_dy), jnp.int32)
-        for y in range(b):
-            acc = acc + g_ref[:gsz, y, y : y + num_dy]
-        out_ref[0, k : k + gsz, :] = srcsq - acc
+    # --- diagonal band reduction ------------------------------------------
+    band_fn = _band_tree if band == "tree" else _band_rolls
+    corr = band_fn(g, b, num_dx, num_dy, _LW)        # (num_dx, num_dy)
+
+    out_ref[0] = srcsq + eyt[:num_dx, :num_dy] - 2 * corr
 
 
-@functools.partial(jax.jit, static_argnames=("num_dy", "num_dx"))
-def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int) -> jnp.ndarray:
-    """Pallas full-search SSD grid; same contract as xla_opt.ssd_grid.
+@functools.partial(
+    jax.jit, static_argnames=("num_dy", "num_dx", "stack", "band", "mm")
+)
+def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
+             stack: str = "double", band: str = "tree",
+             mm: str = "int8") -> jnp.ndarray:
+    """Pallas rolled-source full-search SSD grid.
 
     src (n, b, b) uint8, window (n, >=b+num_dy-1, >=b+num_dx-1) uint8
-    -> (n, num_dy, num_dx) int32, bit-exact integer SSD.  2-D (unbatched)
-    inputs are accepted and return (num_dy, num_dx).
+    -> (n, num_dy, num_dx) int32, bit-exact integer SSD (same contract as
+    kernels/xla_opt.ssd_grid).  2-D inputs accepted, returning 2-D.
     """
     squeeze = src.ndim == 2
     if squeeze:
         src, window = src[None], window[None]
     n, b, _ = src.shape
+    assert b & (b - 1) == 0, "block size must be a power of two"
     wh, ww = b + num_dy - 1, b + num_dx - 1
+    assert wh <= _LW and ww <= _LW, "window must fit the fixed 128-lane slab"
     window = window[:, :wh, :ww]
     kernel = functools.partial(
-        _kernel, b=b, num_dy=num_dy, num_dx=num_dx, wh=wh
+        _kernel, b=b, num_dy=num_dy, num_dx=num_dx, wh=wh, ww=ww,
+        stack=stack, band=band, mm=mm,
     )
     out = pl.pallas_call(
         kernel,
@@ -123,10 +213,9 @@ def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int) ->
             (1, num_dx, num_dy), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, num_dx, num_dy), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((_GROUP, b, wh), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(src, window)
-    out = jnp.swapaxes(out, 1, 2)  # kernel produces [dx, dy]
+    out = jnp.swapaxes(out, 1, 2)  # kernel emits [dx, dy]
     return out[0] if squeeze else out
 
 
