@@ -26,10 +26,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.pred_intra import pred_intra
+from ..ops.pred_intra import filter_flag, pred_intra
 from ..utils.psnr import psnr
 from . import ctu as ctu_mod
-from .loop import EncodeConfig, _residual_pipeline, _satd_cost
+from .loop import EncodeConfig, _prepare_intra_refs, _residual_pipeline, _satd_cost
 
 __all__ = ["encode_intra_frame_wavefront"]
 
@@ -73,9 +73,23 @@ def encode_intra_frame_wavefront(cur: jnp.ndarray, cfg: EncodeConfig = EncodeCon
 
         above, left, corner, src = jax.vmap(gather)(y0, x0)
 
+        # Availability under the wavefront coding order (8.4.4.2.2): the
+        # left and above(-right) neighbours come from earlier waves, but the
+        # below-left run belongs to wave w+1 and is never available.
+        i = jnp.arange(2 * n, dtype=jnp.int32)[None, :]
+        y_pix = rr[:, None] * n
+        x_pix = cc[:, None] * n
+        lav = (c[:, None] > 0) & (y_pix + i < h) & (i < n)
+        aav = (rr[:, None] > 0) & (x_pix + i < w)
+        cav = (c > 0) & (rr > 0)
+        refs_plain, refs_filt = _prepare_intra_refs(
+            left, above, corner, lav, aav, cav, n, cfg
+        )
+
         preds, costs = [], []
         for mode in range(35):
-            p = pred_intra(mode, left, above, corner, n)
+            lt, ab, cn = refs_filt if filter_flag(mode, n) else refs_plain
+            p = pred_intra(mode, lt, ab, cn, n, filter_edge=n < 32)
             preds.append(p)
             costs.append(_satd_cost(src, p))
         preds = jnp.stack(preds, axis=1)                   # (slots, 35, n, n)

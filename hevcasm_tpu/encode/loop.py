@@ -70,6 +70,10 @@ class EncodeConfig:
     # reconstructed neighbours with the WPP 2r+c wave schedule
     # (encode/intra_wavefront.py), the conforming-encoder behaviour.
     intra_mode: str = "open_loop"
+    # Apply the 32x32 strong (bilinear) reference-sample smoothing when the
+    # flatness condition holds (H.265 8.4.4.2.3, sps strong_intra_smoothing
+    # — HM default on).
+    strong_intra_smoothing: bool = True
     # Inter composition: "stages" runs refine and residual as separate
     # (refine_impl / residual_impl-selected) passes; "fused" runs the
     # single-VMEM-residency Pallas kernel (kernels/interp_pallas.py
@@ -284,19 +288,19 @@ def encode_inter_frame_multiref(
 
 
 def _intra_neighbours(frame: jnp.ndarray, n: int):
-    """Open-loop intra neighbours for every n x n block of a frame.
+    """Open-loop intra neighbours + availability for every n x n block.
 
-    Unavailable samples (outside the frame) use the HEVC substitution value
-    128; right/bottom extensions replicate the edge.  Returns (left, above,
-    corner) for blocks in row-major order: left/above (num, 2n), corner (num,).
+    Returns (left, above, corner, left_avail, above_avail, corner_avail)
+    for blocks in row-major order: left/above (num, 2n), corner (num,).
+    Availability is in-frame presence (open-loop predicts from original
+    samples, so there is no coding-order constraint); substitution of the
+    unavailable samples (8.4.4.2.2) is the caller's next step.
     """
     h, w = frame.shape
     gr, gc = h // n, w // n
-    # Pad: 1 left/top with 128; 2n right and n bottom replicated for the
-    # extended above-right / below-left neighbour runs.
+    # Pad: 1 left/top and 2n right / n bottom so every gather is in range;
+    # out-of-frame content is masked out by the availability flags.
     p = jnp.pad(frame, ((1, n), (1, 2 * n)), mode="edge")
-    p = p.at[0, :].set(128)
-    p = p.at[:, 0].set(128)
 
     ys = jnp.arange(gr) * n
     xs = jnp.arange(gc) * n
@@ -309,7 +313,28 @@ def _intra_neighbours(frame: jnp.ndarray, n: int):
         corner = jax.lax.dynamic_slice(p, (y, x), (1, 1))[0, 0]
         return left, above, corner
 
-    return jax.vmap(one)(yy, xx)
+    left, above, corner = jax.vmap(one)(yy, xx)
+
+    i = jnp.arange(2 * n, dtype=jnp.int32)
+    lav = (xx[:, None] > 0) & (yy[:, None] + i[None, :] < h)
+    aav = (yy[:, None] > 0) & (xx[:, None] + i[None, :] < w)
+    cav = (xx > 0) & (yy > 0)
+    return left, above, corner, lav, aav, cav
+
+
+def _prepare_intra_refs(left, above, corner, lav, aav, cav, n, cfg):
+    """Substitution + smoothing (8.4.4.2.2-3): returns the plain and the
+    filtered reference sets; pred for mode m uses the filtered set iff
+    filter_flag(m, n)."""
+    from ..ops.pred_intra import (
+        filter_references, strong_smoothing_condition, substitute_references)
+
+    left, above, corner = substitute_references(left, above, corner, lav, aav, cav)
+    strong = None
+    if n == 32 and cfg.strong_intra_smoothing:
+        strong = strong_smoothing_condition(left, above, corner)
+    lf, af, cf = filter_references(left, above, corner, n, strong=strong)
+    return (left, above, corner), (lf, af, cf)
 
 
 def _satd_cost(a, b):
@@ -325,14 +350,19 @@ def _satd_cost(a, b):
 def encode_intra_frame(cur: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
     """Encode one intra (I) frame: batched 35-mode prediction at
     cfg.intra_block, SATD mode decision, then the TU pipeline."""
+    from ..ops.pred_intra import filter_flag
+
     h, w = cur.shape
     n = cfg.intra_block
     blocks = ctu_mod.tile_frame(cur, n)                        # (m, n, n)
-    left, above, corner = _intra_neighbours(cur, n)
+    refs_plain, refs_filt = _prepare_intra_refs(
+        *_intra_neighbours(cur, n), n, cfg
+    )
 
     preds, costs = [], []
     for mode in range(35):
-        p = pred_intra(mode, left, above, corner, n)
+        l, a, c = refs_filt if filter_flag(mode, n) else refs_plain
+        p = pred_intra(mode, l, a, c, n, filter_edge=n < 32)
         preds.append(p)
         # SATD over 8x8 sub-blocks: the standard intra mode-decision cost
         # (what the reference's hadamard_satd kernels exist for,

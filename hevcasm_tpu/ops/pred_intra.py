@@ -13,15 +13,26 @@ layout at pred_intra.c:57-63):
   left:   (..., 2n) samples p[-1][0..2n-1]   (top to bottom)
   above:  (..., 2n) samples p[0..2n-1][-1]   (left to right)
   corner: (...,)    sample  p[-1][-1]
-All assumed already substituted/filtered by the caller (8.4.4.2.2-3).
+
+Reference-sample processing (H.265 8.4.4.2.2-3) is provided here too:
+substitute_references (availability substitution by scan-order forward
+fill), filter_references ([1 2 1] smoothing + 32x32 strong bilinear
+smoothing) and filter_flag (the mode/size decision) — callers run these
+before prediction; the encode paths (encode/loop.py, intra_wavefront.py)
+do so.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-__all__ = ["pred_intra_dc", "pred_intra_planar", "pred_intra_angular", "pred_intra", "pred_intra_all_modes"]
+__all__ = [
+    "pred_intra_dc", "pred_intra_planar", "pred_intra_angular", "pred_intra",
+    "pred_intra_all_modes", "substitute_references", "filter_references",
+    "filter_flag",
+]
 
 # intraPredAngle per predModeIntra 2..34 (H.265 table 8-5).
 ANGLES = {
@@ -33,6 +44,110 @@ ANGLES = {
 
 # invAngle per angle magnitude (H.265 table 8-6): round(8192*32/angle).
 INV_ANGLES = {-2: -4096, -5: -1638, -9: -910, -13: -630, -17: -482, -21: -390, -26: -315, -32: -256}
+
+
+def _scan_pack(left, above, corner):
+    """Pack neighbours in the 8.4.4.2.2 scan order: p[-1][2n-1] .. p[-1][0],
+    p[-1][-1], p[0][-1] .. p[2n-1][-1] — i.e. reversed left, corner, above."""
+    return jnp.concatenate(
+        [jnp.flip(left, -1), corner[..., None], above], axis=-1
+    )
+
+
+def _scan_unpack(s, n2):
+    left = jnp.flip(s[..., :n2], -1)
+    corner = s[..., n2]
+    above = s[..., n2 + 1 :]
+    return left, above, corner
+
+
+def substitute_references(left, above, corner, left_avail, above_avail,
+                          corner_avail):
+    """Reference-sample substitution (H.265 8.4.4.2.2).
+
+    left/above (..., 2n) uint8, corner (...,); *_avail are boolean masks of
+    the same shapes.  Unavailable samples take the value of the previous
+    available sample in scan order (bottom-left -> corner -> above-right);
+    a leading unavailable run takes the first available sample; if nothing
+    is available every sample becomes 1 << (BitDepth-1) = 128.
+
+    Returns substituted (left, above, corner) as uint8.
+    """
+    n2 = left.shape[-1]
+    s = _scan_pack(left.astype(jnp.int32), above.astype(jnp.int32),
+                   corner.astype(jnp.int32))
+    m = _scan_pack(left_avail, above_avail, corner_avail)
+    length = s.shape[-1]
+    iota = jnp.arange(length, dtype=jnp.int32)
+    idx = jnp.where(m, iota, -1)
+    # forward fill: index of the most recent available sample at or before i
+    ff = jax.lax.associative_scan(jnp.maximum, idx, axis=-1)
+    first = jnp.argmax(m, axis=-1).astype(jnp.int32)      # first available
+    ff = jnp.where(ff < 0, first[..., None], ff)
+    vals = jnp.take_along_axis(s, ff, axis=-1)
+    vals = jnp.where(jnp.any(m, axis=-1)[..., None], vals, 128)
+    l, a, c = _scan_unpack(vals, n2)
+    return l.astype(jnp.uint8), a.astype(jnp.uint8), c.astype(jnp.uint8)
+
+
+def filter_references(left, above, corner, n: int, strong: jnp.ndarray | None = None):
+    """Reference-sample smoothing (H.265 8.4.4.2.3).
+
+    [1 2 1]/4 filter along the scan-order sample run, endpoints unchanged.
+    `strong` (optional, (...,) bool; only meaningful for n == 32) selects
+    the strong bilinear smoothing per block: each edge run is linearly
+    interpolated between the corner and its outermost sample.
+
+    Returns filtered (left, above, corner) as uint8.
+    """
+    n2 = left.shape[-1]
+    s = _scan_pack(left.astype(jnp.int32), above.astype(jnp.int32),
+                   corner.astype(jnp.int32))
+    interior = (s[..., :-2] + 2 * s[..., 1:-1] + s[..., 2:] + 2) >> 2
+    sf = jnp.concatenate([s[..., :1], interior, s[..., -1:]], axis=-1)
+    lf, af, cf = _scan_unpack(sf, n2)
+
+    if strong is not None:
+        assert n2 == 64, "strong smoothing is defined for 32x32 blocks"
+        c32 = corner.astype(jnp.int32)[..., None]
+        k = jnp.arange(n2, dtype=jnp.int32)
+        a_end = above[..., n2 - 1].astype(jnp.int32)[..., None]
+        l_end = left[..., n2 - 1].astype(jnp.int32)[..., None]
+        a_str = ((63 - k) * c32 + (k + 1) * a_end + 32) >> 6
+        l_str = ((63 - k) * c32 + (k + 1) * l_end + 32) >> 6
+        a_str = a_str.at[..., n2 - 1].set(a_end[..., 0])
+        l_str = l_str.at[..., n2 - 1].set(l_end[..., 0])
+        sel = strong[..., None]
+        lf = jnp.where(sel, l_str, lf.astype(jnp.int32))
+        af = jnp.where(sel, a_str, af.astype(jnp.int32))
+        cf = jnp.where(strong, corner.astype(jnp.int32), cf.astype(jnp.int32))
+    return lf.astype(jnp.uint8), af.astype(jnp.uint8), cf.astype(jnp.uint8)
+
+
+def strong_smoothing_condition(left, above, corner, bit_depth: int = 8):
+    """The 32x32 flatness test gating strong smoothing (8.4.4.2.3): both
+    edges must be near-linear within 1 << (BitDepth - 5).  Returns (...,)
+    bool."""
+    c = corner.astype(jnp.int32)
+    a = above.astype(jnp.int32)
+    l = left.astype(jnp.int32)
+    thr = 1 << (bit_depth - 5)
+    cond_a = jnp.abs(c + a[..., 63] - 2 * a[..., 31]) < thr
+    cond_l = jnp.abs(c + l[..., 63] - 2 * l[..., 31]) < thr
+    return cond_a & cond_l
+
+
+# intraHorVerDistThres per nTbS (H.265 table 8-7).
+_FILTER_THRES = {8: 7, 16: 1, 32: 0}
+
+
+def filter_flag(mode: int, n: int) -> bool:
+    """Whether mode `mode` predicts from the FILTERED reference samples for
+    an n x n luma block (H.265 8.4.4.2.3 filterFlag)."""
+    if mode == 1 or n not in _FILTER_THRES:
+        return False
+    min_dist = min(abs(mode - 26), abs(mode - 10))  # == 10 for planar
+    return min_dist > _FILTER_THRES[n]
 
 
 def pred_intra_dc(

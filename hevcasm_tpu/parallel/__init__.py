@@ -3,6 +3,7 @@ from .sharding import (
     encode_p_frames_batch,
     encode_gop_data_parallel,
     encode_inter_frame_spatial,
+    encode_gop_closed_loop_spatial,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "encode_p_frames_batch",
     "encode_gop_data_parallel",
     "encode_inter_frame_spatial",
+    "encode_gop_closed_loop_spatial",
 ]

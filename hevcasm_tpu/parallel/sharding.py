@@ -36,6 +36,7 @@ __all__ = [
     "encode_p_frames_batch",
     "encode_gop_data_parallel",
     "encode_inter_frame_spatial",
+    "encode_gop_closed_loop_spatial",
 ]
 
 
@@ -98,6 +99,35 @@ def _exchange_halo(band: jnp.ndarray, top: int, bottom: int, axis: str) -> jnp.n
     return jnp.concatenate([top_rows, band, bot_rows], axis=0)
 
 
+def _band_frame_step(cur_band, ref_band, cfg: EncodeConfig, band_h: int,
+                     w: int, h: int):
+    """One inter-frame step on this device's CTU-row band, inside a
+    shard_map over axis 'rows': halo exchange, full search, quarter-pel
+    refine, residual pipeline.  Returns (recon_band, best_sad, nnz, psnr)
+    with nnz/psnr already psum-reduced over 'rows'."""
+    r = cfg.search_range
+    halo_t, halo_b = r + motion.PAD_L, r + motion.PAD_R
+    # Vertical halo via neighbour exchange; horizontal via local edge pad.
+    ref_v = _exchange_halo(ref_band, halo_t, halo_b, "rows")
+    ref_padded = ctu_mod.pad_frame(ref_v, 0, 0, halo_t, halo_b)
+
+    gr, gc = ctu_mod.grid_shape(band_h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur_band, cfg.ctu)
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    mv_int, best_sad = motion.full_search(
+        src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+    )
+    pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
+    rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
+    recon = ctu_mod.untile_frame(rec_ctus, band_h, w)
+    d = cur_band.astype(jnp.float32) - recon.astype(jnp.float32)
+    sse = jax.lax.psum(jnp.sum(d * d), "rows")
+    mse = sse / (h * w)
+    frame_psnr = 10.0 * jnp.log10(255.0 * 255.0 / jnp.maximum(mse, 1e-10))
+    return recon, best_sad, jax.lax.psum(nnz, "rows"), frame_psnr
+
+
 def encode_inter_frame_spatial(
     cur: jnp.ndarray, ref: jnp.ndarray, mesh: Mesh, cfg: EncodeConfig = EncodeConfig()
 ):
@@ -112,8 +142,6 @@ def encode_inter_frame_spatial(
     nrows = mesh.shape["rows"]
     band_h = h // nrows
     assert band_h * nrows == h and band_h % cfg.ctu == 0
-    r = cfg.search_range
-    halo_t, halo_b = r + motion.PAD_L, r + motion.PAD_R
 
     @functools.partial(
         shard_map,
@@ -130,29 +158,57 @@ def encode_inter_frame_spatial(
     def step(cur_band, ref_band):
         cur_band = cur_band.reshape(band_h, w)
         ref_band = ref_band.reshape(band_h, w)
-        # Vertical halo via neighbour exchange; horizontal via local edge pad.
-        ref_v = _exchange_halo(ref_band, halo_t, halo_b, "rows")
-        ref_padded = ctu_mod.pad_frame(ref_v, 0, 0, halo_t, halo_b)
-
-        gr, gc = ctu_mod.grid_shape(band_h, w, cfg.ctu)
-        src_ctus = ctu_mod.tile_frame(cur_band, cfg.ctu)
-        pos = motion.ctu_positions(gr, gc, cfg.ctu)
-        grid_fn = motion.grid_metric_fn(cfg.me_metric)
-        mv_int, best_sad = motion.full_search(
-            src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+        recon, best_sad, nnz, frame_psnr = _band_frame_step(
+            cur_band, ref_band, cfg, band_h, w, h
         )
-        pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
-        rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
-        recon = ctu_mod.untile_frame(rec_ctus, band_h, w)
-        d = cur_band.astype(jnp.float32) - recon.astype(jnp.float32)
-        sse = jax.lax.psum(jnp.sum(d * d), "rows")
-        mse = sse / (h * w)
-        frame_psnr = 10.0 * jnp.log10(255.0 * 255.0 / jnp.maximum(mse, 1e-10))
         return {
             "recon": recon,
             "sad": best_sad,
-            "nnz": jax.lax.psum(nnz, "rows"),
+            "nnz": nnz,
             "psnr_db": frame_psnr,
         }
 
     return jax.jit(step)(cur, ref)
+
+
+def encode_gop_closed_loop_spatial(
+    frames_y: jnp.ndarray, mesh: Mesh, cfg: EncodeConfig = EncodeConfig()
+):
+    """BASELINE config 5: closed-loop IPPP GOP (every P frame predicted from
+    the previous frame's RECONSTRUCTION) with each frame's CTU-row bands
+    sharded over mesh axis 'rows' — the conforming-encoder GOP chain of
+    encode/video.encode_gop_closed_loop, spatially distributed.
+
+    The lax.scan over frames runs INSIDE one shard_map: per frame, each
+    device encodes its band after a ppermute halo exchange of the previous
+    reconstruction; only the (halo_t + halo_b) boundary rows ever cross
+    chips.  frames_y: (T, H, W) uint8.  Returns {recon (T-1, H, W),
+    psnr_db (T-1,)} bit-identical to the single-chip closed-loop GOP
+    (tests/test_parallel.py).
+    """
+    t, h, w = frames_y.shape
+    nrows = mesh.shape["rows"]
+    band_h = h // nrows
+    assert band_h * nrows == h and band_h % cfg.ctu == 0
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "rows", None),),
+        out_specs={"recon": P(None, "rows", None), "psnr_db": P()},
+        check_vma=False,
+    )
+    def run(frames_band):
+        frames_band = frames_band.reshape(t, band_h, w)
+
+        def body(prev_band, cur_band):
+            recon, _, _, frame_psnr = _band_frame_step(
+                cur_band, prev_band, cfg, band_h, w, h
+            )
+            return recon, (recon, frame_psnr)
+
+        _, (recs, psnrs) = jax.lax.scan(body, frames_band[0], frames_band[1:])
+        return {"recon": recs, "psnr_db": psnrs}
+
+    sh = NamedSharding(mesh, P(None, "rows", None))
+    return jax.jit(run)(jax.device_put(frames_y, sh))

@@ -6,9 +6,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from hevcasm_tpu.encode import EncodeConfig
-from hevcasm_tpu.encode.loop import _residual_pipeline, _satd_cost
+from hevcasm_tpu.encode.loop import _prepare_intra_refs, _residual_pipeline, _satd_cost
 from hevcasm_tpu.encode.intra_wavefront import encode_intra_frame_wavefront, UNAVAILABLE
-from hevcasm_tpu.ops.pred_intra import pred_intra
+from hevcasm_tpu.ops.pred_intra import filter_flag, pred_intra
 
 
 def _raster_reference(cur, cfg):
@@ -20,12 +20,25 @@ def _raster_reference(cur, cfg):
     for r in range(gr):
         for c in range(gc):
             y0, x0 = 1 + r * n, 1 + c * n
-            above = jnp.asarray(canvas[y0 - 1, x0 : x0 + 2 * n])
-            left = jnp.asarray(canvas[y0 : y0 + 2 * n, x0 - 1])
-            corner = jnp.asarray(canvas[y0 - 1, x0 - 1])
+            above = jnp.asarray(canvas[y0 - 1, x0 : x0 + 2 * n])[None]
+            left = jnp.asarray(canvas[y0 : y0 + 2 * n, x0 - 1])[None]
+            corner = jnp.asarray(canvas[y0 - 1, x0 - 1])[None]
             src = jnp.asarray(cur[r * n : (r + 1) * n, c * n : (c + 1) * n])
 
-            preds = [pred_intra(m, left, above, corner, n) for m in range(35)]
+            ii = np.arange(2 * n)
+            lav = jnp.asarray(((c > 0) & (r * n + ii < h) & (ii < n))[None])
+            aav = jnp.asarray(((r > 0) & (c * n + ii < w))[None])
+            cav = jnp.asarray(np.array([(c > 0) & (r > 0)]))
+            plain, filt = _prepare_intra_refs(
+                left, above, corner, lav, aav, cav, n, cfg)
+
+            preds = [
+                pred_intra(
+                    m, *(filt if filter_flag(m, n) else plain), n,
+                    filter_edge=n < 32,
+                )[0]
+                for m in range(35)
+            ]
             costs = [int(_satd_cost(src[None], p[None])[0]) for p in preds]
             best = int(np.argmin(costs))
             pred = preds[best]

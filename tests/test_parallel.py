@@ -83,3 +83,50 @@ def test_vertical_motion_crosses_shard_boundary(rng):
         cfg,
     )
     np.testing.assert_array_equal(np.asarray(out["recon"]), np.asarray(single["recon"]))
+
+
+def test_closed_loop_gop_spatial_bit_exact(rng):
+    """Closed-loop GOP (P frames reference reconstructions) with spatial
+    row sharding == the single-chip closed-loop GOP, frame by frame."""
+    from hevcasm_tpu.encode.video import encode_gop_closed_loop
+    from hevcasm_tpu.parallel import encode_gop_closed_loop_spatial
+
+    t, h, w = 4, 256, 128
+    frames = _clip(rng, t, h, w)
+    cfg = EncodeConfig(search_range=8, qp=32)
+
+    single = encode_gop_closed_loop(jnp.asarray(frames), cfg, num_frames=t)
+    mesh = make_mesh(frames=4, rows=2)
+    out = encode_gop_closed_loop_spatial(jnp.asarray(frames), mesh, cfg)
+
+    np.testing.assert_array_equal(
+        np.asarray(out["recon"]), np.asarray(single["recon"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["psnr_db"]), np.asarray(single["psnr_db"]), atol=1e-3
+    )
+
+
+def test_multihost_mesh_layout():
+    """make_global_mesh: axis order puts 'rows' innermost (ICI-adjacent) and
+    covers every device exactly once."""
+    from hevcasm_tpu.parallel.multihost import make_global_mesh
+
+    mesh = make_global_mesh(frames=4, rows=2)
+    assert mesh.axis_names == ("frames", "rows")
+    assert mesh.devices.shape == (4, 2)
+    devs = jax.devices()
+    # row-major: device i lands at (i // rows, i % rows) -> 'rows' innermost
+    for i, d in enumerate(mesh.devices.reshape(-1)):
+        assert d == devs[i]
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        make_global_mesh(frames=3, rows=2)
+
+
+def test_multihost_initialize_idempotent():
+    """initialize() must be safe single-process and safe to call twice."""
+    from hevcasm_tpu.parallel.multihost import initialize
+
+    initialize()
+    initialize()  # second call must not raise
