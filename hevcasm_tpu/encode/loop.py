@@ -81,6 +81,13 @@ class EncodeConfig:
     # no HBM intermediate).  Bit-identical; "fused" requires a TPU backend
     # and the 64x64-CTU / 8x8-TU geometry.
     inter_impl: str = "stages"
+    # Per-CTU PU-size decision over 64/32/16 (encode/partition.py): one
+    # 16x16-granularity search aggregated exactly to every level, each PU
+    # refined with its own MV, level chosen by SSD + lambda*numPU.
+    pu_decision: bool = False
+    # Per-CTU TU-size selection: run the residual pipeline at each listed
+    # size and pick by distortion + lambda*nnz.  () = fixed cfg.tu.
+    tu_sizes: tuple = ()
 
     def __post_init__(self):
         # Typos in impl strings must fail loudly, not silently select a
@@ -177,10 +184,66 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
     pos = motion.ctu_positions(gr, gc, cfg.ctu)
 
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    if cfg.pu_decision:
+        # Variable PU structure: 16x16-granularity search, exact grid
+        # aggregation to 32/64, per-CTU level choice, per-PU qpel refine.
+        from . import partition
+
+        size = cfg.ctu + 2 * r
+        if size % cfg.ctu == 0:
+            win = motion.extract_aligned_windows(
+                ref_padded, (motion.PAD_L, motion.PAD_L), (gr, gc), cfg.ctu, size
+            )
+        else:
+            win = motion.extract_windows(ref_padded, pos + motion.PAD_L, size)
+        search = partition.multi_level_search(src_ctus, win, r, grid_fn)
+        lam = partition.mv_lambda(cfg.qp)
+        pred, level, mvq = partition.select_pu_pred(
+            src_ctus, ref_padded, pos, search, r, lam
+        )
+        best_sad = search["best64"]
+        mv_qpel = mvq["q64"][:, 0, 0, :]  # CTU-level MV (per-PU MVs in mvq)
+        if cfg.tu_sizes:
+            rec_ctus, tu_choice, nnz = partition.select_tu_recon(
+                src_ctus, pred, cfg, cfg.tu_sizes
+            )
+        else:
+            rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
+        recon = ctu_mod.untile_frame(rec_ctus, h, w)
+        return {
+            "recon": recon,
+            "mvs": mv_qpel,
+            "pu_level": level,
+            "sad": best_sad,
+            "nnz": nnz,
+            "psnr_db": psnr(cur, recon),
+        }
     if cfg.me_strategy == "pyramid":
         mv_int, best_sad = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
     else:
         mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
+    if cfg.tu_sizes:
+        # TU-size selection composes with the staged refine below.
+        from . import partition as _partition
+
+        start = pos + mv_int + r
+        winr = motion.extract_windows(ref_padded, start, cfg.ctu + motion.TAPS - 1)
+        from ..kernels.interp_xla import refine_quarter_pel_mxu
+
+        pred, frac, _ = refine_quarter_pel_mxu(src_ctus, winr)
+        mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
+        rec_ctus, tu_choice, nnz = _partition.select_tu_recon(
+            src_ctus, pred, cfg, cfg.tu_sizes
+        )
+        recon = ctu_mod.untile_frame(rec_ctus, h, w)
+        return {
+            "recon": recon,
+            "mvs": mv_qpel,
+            "tu_choice": tu_choice,
+            "sad": best_sad,
+            "nnz": nnz,
+            "psnr_db": psnr(cur, recon),
+        }
     if cfg.inter_impl == "fused":
         # One Pallas kernel: qpel refine + transform/quant/reconstruct per
         # CTU.  The gather pulls aligned (B+8, 128) slabs so the kernel's

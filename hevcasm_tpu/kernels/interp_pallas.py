@@ -102,9 +102,14 @@ def _refine_core(src, win, bx_ref, ay_ref, *, b):
     best_idx = jnp.min(jnp.where(sad == best_cost, lin, 1 << 30))
 
     # Extract the winning quadrant with two dynamic rotates + static slice.
+    # Mosaic's dynamic_rotate needs a 128-aligned lane dimension, so pad the
+    # candidate plane's columns up to LW first (the wrap never reaches the
+    # sliced-out b columns since xf*b + b <= m4 <= LW).
     yf, xf = best_idx // 4, best_idx % 4
-    sel = pltpu.roll(preds, (4 - yf) * b % m4, axis=0)   # left by yf*b
-    sel = pltpu.roll(sel, (4 - xf) * b % m4, axis=1)     # left by xf*b
+    lw = max(m4, _LW)
+    predsp = preds if m4 >= _LW else jnp.pad(preds, ((0, 0), (0, lw - m4)))
+    sel = pltpu.roll(predsp, (m4 - yf * b) % m4, axis=0)   # left by yf*b
+    sel = pltpu.roll(sel, (lw - xf * b) % lw, axis=1)      # left by xf*b
     return sel[:b, :b], best_idx, best_cost
 
 

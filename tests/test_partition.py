@@ -1,0 +1,124 @@
+"""Variable block structure: PU-size decision and TU-size selection."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hevcasm_tpu.encode import EncodeConfig
+from hevcasm_tpu.encode import ctu as ctu_mod, motion, partition
+from hevcasm_tpu.encode.loop import encode_inter_frame
+from hevcasm_tpu.ops.sad import sad_grid
+from hevcasm_tpu.kernels.xla_opt import ssd_grid
+
+
+@pytest.fixture
+def frames(rng):
+    h, w = 128, 192
+    base = rng.integers(0, 256, (h + 40, w + 40), dtype=np.uint8)
+    cur = base[5 : 5 + h, 7 : 7 + w]
+    ref = base[:h, :w]
+    return cur, ref
+
+
+def test_grid_additivity_vs_ctu_search(frames, rng):
+    """The 16x16-aggregated 64-level grid must equal the direct CTU search:
+    same best SSD and same argmin MV."""
+    cur, ref = frames
+    h, w = cur.shape
+    r = 8
+    gr, gc = h // 64, w // 64
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), r + 3, r + 4, r + 3, r + 4)
+    pos = motion.ctu_positions(gr, gc, 64)
+    win = motion.extract_windows(rp, pos + 3, 64 + 2 * r)
+
+    search = partition.multi_level_search(src, win, r, ssd_grid)
+    mv_d, best_d = motion.full_search(src, rp, pos, r, grid_fn=ssd_grid)
+    assert np.array_equal(np.asarray(search["best64"]), np.asarray(best_d))
+    assert np.array_equal(np.asarray(search["mv64"]), np.asarray(mv_d))
+
+
+def test_sub_pu_grids_match_independent_search(frames):
+    """Each 16x16 sub-block's grid equals an independent search of that
+    sub-block over the equivalent window."""
+    cur, ref = frames
+    r = 8
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), r + 3, r + 4, r + 3, r + 4)
+    gr, gc = cur.shape[0] // 64, cur.shape[1] // 64
+    pos = motion.ctu_positions(gr, gc, 64)
+    win = motion.extract_windows(rp, pos + 3, 64 + 2 * r)
+    search = partition.multi_level_search(src, win, r, ssd_grid)
+
+    # independent: sub-block (1, 2) of CTU 0
+    i, j = 1, 2
+    sub = np.asarray(src[0, 16 * i : 16 * i + 16, 16 * j : 16 * j + 16])
+    wsub = np.asarray(win[0, 16 * i : 16 * i + 16 + 2 * r,
+                          16 * j : 16 * j + 16 + 2 * r])
+    g = np.asarray(ssd_grid(jnp.asarray(sub)[None], jnp.asarray(wsub)[None],
+                            2 * r + 1, 2 * r + 1))[0]
+    best = g.reshape(-1).min()
+    assert int(search["best16"][0, i, j]) == int(best)
+
+
+def test_pu_decision_end_to_end(frames):
+    cur, ref = frames
+    cfg = EncodeConfig(search_range=8, qp=32, pu_decision=True)
+    out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
+    assert out["recon"].shape == cur.shape
+    lv = np.asarray(out["pu_level"])
+    assert lv.shape == (6,) and set(np.unique(lv)) <= {0, 1, 2}
+    assert float(out["psnr_db"]) > 25.0
+
+
+def test_pu_decision_picks_small_pus_for_divergent_motion(rng):
+    """A frame whose four 32x32 quadrants move in different directions
+    should prefer sub-CTU partitions."""
+    h, w = 64, 64
+    base = rng.integers(0, 256, (h + 32, w + 32), dtype=np.uint8)
+    ref = base[8 : 8 + h, 8 : 8 + w]
+    cur = np.zeros((h, w), np.uint8)
+    shifts = {(0, 0): (3, 2), (0, 1): (-4, 1), (1, 0): (2, -5), (1, 1): (-3, -3)}
+    for (qi, qj), (dy, dx) in shifts.items():
+        cur[32 * qi : 32 * qi + 32, 32 * qj : 32 * qj + 32] = base[
+            8 + 32 * qi + dy : 8 + 32 * qi + 32 + dy,
+            8 + 32 * qj + dx : 8 + 32 * qj + 32 + dx,
+        ]
+    cfg = EncodeConfig(search_range=8, qp=32, pu_decision=True)
+    out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
+    assert int(out["pu_level"][0]) in (1, 2)   # not the single-PU layout
+    assert float(out["psnr_db"]) > 30.0
+
+    # The 32-level search must recover the planted per-quadrant shifts.
+    from hevcasm_tpu.encode import ctu as _ctu
+    src = _ctu.tile_frame(jnp.asarray(cur), 64)
+    rp = _ctu.pad_frame(jnp.asarray(ref), 11, 12, 11, 12)
+    pos = motion.ctu_positions(1, 1, 64)
+    win = motion.extract_windows(rp, pos + 3, 64 + 16)
+    s = partition.multi_level_search(src, win, 8, ssd_grid)
+    got = {(qi, qj): tuple(int(v) for v in np.asarray(s["mv32"])[0, qi, qj])
+           for qi in range(2) for qj in range(2)}
+    assert got == shifts
+
+
+def test_tu_selection_singleton_matches_fixed(frames):
+    cur, ref = frames
+    out_fixed = encode_inter_frame(
+        jnp.asarray(cur), jnp.asarray(ref), EncodeConfig(search_range=8, qp=32)
+    )
+    out_sel = encode_inter_frame(
+        jnp.asarray(cur), jnp.asarray(ref),
+        EncodeConfig(search_range=8, qp=32, tu_sizes=(8,)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fixed["recon"]), np.asarray(out_sel["recon"])
+    )
+
+
+def test_tu_selection_all_sizes(frames):
+    cur, ref = frames
+    cfg = EncodeConfig(search_range=8, qp=32, tu_sizes=(4, 8, 16, 32))
+    out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
+    ch = np.asarray(out["tu_choice"])
+    assert ch.shape == (6,) and set(np.unique(ch)) <= {0, 1, 2, 3}
+    assert float(out["psnr_db"]) > 25.0
