@@ -100,6 +100,23 @@ def _build_stack_double(a32: jnp.ndarray, num_dx: int) -> jnp.ndarray:
     return stk
 
 
+def _build_stack_packed(a8: jnp.ndarray, num_dx: int) -> jnp.ndarray:
+    """Doubling build in the int8 domain: bitcast packs 4 consecutive
+    sublanes (source rows) into one int32 lane-row, a lane roll shifts all
+    four rows together, and the final bitcast unpacks back — quartering the
+    data moved by the rolls/concats.  a8 (b, LW) int8, b % 4 == 0."""
+    b = a8.shape[0]
+    rows = b // 4
+    stk = pltpu.bitcast(a8, jnp.int32)               # (b/4, LW)
+    m = 1
+    while m < num_dx:
+        take = min(m, num_dx - m)
+        ext = pltpu.roll(stk[: take * rows], m, axis=1)
+        stk = jnp.concatenate([stk, ext], axis=0)
+        m += take
+    return pltpu.bitcast(stk, jnp.int8)              # (num_dx*b, LW)
+
+
 def _band_rolls(g: jnp.ndarray, b: int, num_dx: int, num_dy: int, wh: int) -> jnp.ndarray:
     """corr[dx, dy] = sum_y g[dx*b+y, y+dy] by rolling row y left by y
     (log2(b) masked power-of-two rolls), then a sublane reduction."""
@@ -152,15 +169,25 @@ def _kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx, wh, ww,
     sl0 = _slide(_cumsum(w2t, axis=0), b, axis=0)    # rows dx valid < num_dx
     eyt = _slide(_cumsum(sl0, axis=1), b, axis=1)    # (LW, LW); [dx, dy] valid
 
-    # --- rolled source stack (int32 rolls; Mosaic can't rotate sub-32-bit) -
-    a32 = jnp.pad(si, ((0, 0), (0, _LW - b)))        # (b, LW)
-    build = _build_stack_double if stack == "double" else _build_stack_serial
-    amat = build(a32, num_dx)                        # (num_dx*b, LW)
+    # --- rolled source stack -----------------------------------------------
+    if stack == "packed":
+        # int8-domain build: centered source via the XOR-128 reinterpret
+        # ((x ^ 0x80) as int8 == x - 128), packed 4-rows-per-int32 rolls.
+        assert mm == "int8" and b % 4 == 0
+        si8 = pltpu.bitcast(src_ref[0] ^ jnp.uint8(128), jnp.int8)
+        a8 = jnp.pad(si8, ((0, 0), (0, _LW - b)))
+        amat8 = _build_stack_packed(a8, num_dx)      # (num_dx*b, LW) int8
+    else:
+        a32 = jnp.pad(si, ((0, 0), (0, _LW - b)))    # (b, LW)
+        build = _build_stack_double if stack == "double" else _build_stack_serial
+        amat = build(a32, num_dx)                    # (num_dx*b, LW)
+        amat8 = None
 
     # --- one matmul over the whole stack -----------------------------------
     if mm == "int8":
+        lhs = amat8 if amat8 is not None else amat.astype(jnp.int8)
         g = jax.lax.dot_general(
-            amat.astype(jnp.int8), wi.astype(jnp.int8),
+            lhs, wi.astype(jnp.int8),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )                                            # (num_dx*b, wh) exact
@@ -182,7 +209,7 @@ def _kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx, wh, ww,
     jax.jit, static_argnames=("num_dy", "num_dx", "stack", "band", "mm")
 )
 def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
-             stack: str = "double", band: str = "tree",
+             stack: str = "packed", band: str = "tree",
              mm: str = "int8") -> jnp.ndarray:
     """Pallas rolled-source full-search SSD grid.
 
@@ -195,6 +222,8 @@ def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
         src, window = src[None], window[None]
     n, b, _ = src.shape
     assert b & (b - 1) == 0, "block size must be a power of two"
+    if stack == "packed" and (mm != "int8" or b % 4):
+        stack = "double"  # packed build requires the s8 path and b % 4 == 0
     wh, ww = b + num_dy - 1, b + num_dx - 1
     assert wh <= _LW and ww <= _LW, "window must fit the fixed 128-lane slab"
     window = window[:, :wh, :ww]

@@ -25,7 +25,7 @@ def test_ssd_grid_matches_jit(rng, b, r):
     assert np.array_equal(got, ref)
 
 
-@pytest.mark.parametrize("stack", ["serial", "double"])
+@pytest.mark.parametrize("stack", ["serial", "double", "packed"])
 @pytest.mark.parametrize("band", ["rolls", "tree"])
 @pytest.mark.parametrize("mm", ["int8", "bf16"])
 def test_ssd_grid_variants(rng, stack, band, mm):
