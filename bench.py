@@ -8,12 +8,16 @@ Methodology notes:
 * Frames are chained ON DEVICE (lax.fori_loop inside one jit) and a checksum
   of the final reconstruction is fetched, so per-dispatch relay latency
   (~25 ms in this environment) is amortized over the chain AND cannot ACK
-  before the work is done.  The empty-chain dispatch floor is measured and
-  subtracted — at millisecond frame times it would otherwise add ~25/iters
-  ms/frame.
+  before the work is done.  The per-dispatch floor is estimated by timing the
+  same chain at two lengths (the difference cancels the fixed dispatch cost)
+  rather than with a trivial-body chain — a no-work chain has been observed
+  to wedge the relay indefinitely.
 * The measurement runs in a child process with a watchdog: the TPU relay
   occasionally wedges a device->host transfer indefinitely; a hung attempt
-  is killed and retried rather than hanging the driver.
+  is killed and retried rather than hanging the driver.  The child emits a
+  provisional JSON line as soon as the first converged measurement exists,
+  so even a late wedge still yields a result (the parent keeps the LAST
+  line, recovering partial output from a timed-out child).
 """
 
 import json
@@ -58,68 +62,77 @@ def measure():
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
     psnr = float(out["psnr_db"])
 
-    iters = 100
-
-    def chain_of(body):
+    def chain_of(iters):
         @jax.jit
         def chain(c, r0):
             def f(_, r):
-                return body(c, r)
+                return encode_inter_frame(c, r, cfg)["recon"]
 
             r = jax.lax.fori_loop(0, iters, f, r0)
             return jnp.sum(r.astype(jnp.uint32))
 
         return chain
 
-    # Dispatch-floor chain: same structure, trivial body.
-    floor_chain = chain_of(lambda c, r: r)
+    iters_long, iters_short = 100, 25
+    long_chain = chain_of(iters_long)
+    short_chain = chain_of(iters_short)
     t0 = time.perf_counter()
-    c0 = int(floor_chain(cur, ref))
-    frame_chain = chain_of(lambda c, r: encode_inter_frame(c, r, cfg)["recon"])
-    c1 = int(frame_chain(cur, ref))
+    c1 = int(long_chain(cur, ref))
     log(f"chain compile+run: {time.perf_counter() - t0:.1f}s (checksum {c1})")
 
-    t0 = time.perf_counter()
-    c0 ^= int(floor_chain(cur, ref))
-    floor_s = (time.perf_counter() - t0) / iters
+    def best_of(chain, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(chain(cur, ref))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        c1 ^= int(frame_chain(cur, ref))
-        best = min(best, time.perf_counter() - t0)
-    frame_s = best / iters - floor_s
-    ctus_per_sec = ctus / frame_s
+    t_long = best_of(long_chain)
 
-    # Achieved-FLOPs accounting (MXU work actually issued per frame):
-    # search 510 x (65*64 x 128 x 128) int8 matmul, refine 510 x (one bf16
-    # H pass + two s8 V passes), residual 510 x 16 block-diagonal 64^3
-    # passes.
-    fl_search = ctus * (65 * 64) * 128 * 128 * 2
-    fl_refine = ctus * (128 * 128 * 256 + 2 * 256 * 128 * 256) * 2
-    fl_resid = ctus * 16 * 64 ** 3 * 2
-    fl = fl_search + fl_refine + fl_resid
-    log(
-        f"on-device chain x{iters}: {frame_s * 1e3:.2f}ms/frame "
-        f"(floor {floor_s * 1e3:.2f}ms subtracted) -> "
-        f"{ctus_per_sec:.0f} CTUs/s, {1 / frame_s:.1f} fps 1080p, "
-        f"first-frame psnr {psnr:.2f}dB"
-    )
-    log(
-        f"achieved {fl / frame_s / 1e12:.1f} TFLOP/s issued-MXU-work basis "
-        f"({fl / frame_s / PEAK_FLOPS * 100:.1f}% of bf16 peak; "
-        f"minimal-correlation basis {ctus * 65 * 65 * 64 * 64 * 2 / frame_s / 1e12:.1f} TFLOP/s)"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_ctus_per_sec_per_chip",
-                "value": round(ctus_per_sec, 1),
-                "unit": "CTU/s",
-                "vs_baseline": round(ctus_per_sec / 63432.0, 2),
-            }
+    def emit(frame_s, note):
+        ctus_per_sec = ctus / frame_s
+        # Achieved-FLOPs accounting (MXU work actually issued per frame):
+        # search 510 x (65*64 x 128 x 128) int8 matmul, refine 510 x (one
+        # bf16 H pass + two s8 V passes), residual 510 x 16 block-diagonal
+        # 64^3 passes.
+        fl_search = ctus * (65 * 64) * 128 * 128 * 2
+        fl_refine = ctus * (128 * 128 * 256 + 2 * 256 * 128 * 256) * 2
+        fl_resid = ctus * 16 * 64 ** 3 * 2
+        fl = fl_search + fl_refine + fl_resid
+        log(
+            f"[{note}] {frame_s * 1e3:.2f}ms/frame -> "
+            f"{ctus_per_sec:.0f} CTUs/s, {1 / frame_s:.1f} fps 1080p, "
+            f"first-frame psnr {psnr:.2f}dB"
         )
-    )
+        log(
+            f"achieved {fl / frame_s / 1e12:.1f} TFLOP/s issued-MXU-work basis "
+            f"({fl / frame_s / PEAK_FLOPS * 100:.1f}% of bf16 peak; "
+            f"minimal-correlation basis {ctus * 65 * 65 * 64 * 64 * 2 / frame_s / 1e12:.1f} TFLOP/s)"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_ctus_per_sec_per_chip",
+                    "value": round(ctus_per_sec, 1),
+                    "unit": "CTU/s",
+                    "vs_baseline": round(ctus_per_sec / 63432.0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    # Provisional number (dispatch cost amortized over 100 iters but not
+    # cancelled) in case the short-chain refinement wedges.
+    emit(t_long / iters_long, "provisional, floor amortized only")
+
+    # Two-length difference cancels the fixed per-dispatch cost exactly.
+    t_short = best_of(short_chain)
+    frame_s = (t_long - t_short) / (iters_long - iters_short)
+    floor_ms = (t_long - frame_s * iters_long) * 1e3
+    log(f"dispatch floor: {floor_ms:.1f} ms (two-length difference)")
+    if frame_s > 0:
+        emit(frame_s, "final, floor cancelled")
 
 
 def main():
@@ -127,26 +140,37 @@ def main():
         measure()
         return
 
-    # Parent: run the measurement in a child with a watchdog + one retry.
+    # Parent: run the measurement in a child with a watchdog + retries.  A
+    # timed-out child's partial stdout still counts — the last JSON line
+    # (the provisional emit) is used.
     env = dict(os.environ, HEVCASM_BENCH_CHILD="1")
+    best_line = None
     for attempt in range(3):
+        out = b""
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 stdout=subprocess.PIPE,
-                timeout=600,
+                timeout=480,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-        except subprocess.TimeoutExpired:
-            log(f"attempt {attempt}: watchdog timeout (hung transfer?), retrying")
-            continue
-        text = proc.stdout.decode()
-        lines = [l for l in text.splitlines() if l.startswith("{")]
-        if proc.returncode == 0 and lines:
-            print(lines[-1])
+            out = proc.stdout or b""
+            rc = proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or b""
+            rc = "timeout"
+            log(f"attempt {attempt}: watchdog timeout (hung transfer?)")
+        lines = [l for l in out.decode().splitlines() if l.startswith("{")]
+        if lines:
+            best_line = lines[-1]
+        if rc == 0 and lines:
+            print(best_line)
             return
-        log(f"attempt {attempt}: exit {proc.returncode}, retrying")
+        log(f"attempt {attempt}: exit {rc}, {len(lines)} json lines")
+    if best_line is not None:
+        print(best_line)
+        return
     log("all attempts failed")
     sys.exit(1)
 

@@ -78,9 +78,15 @@ class EncodeConfig:
     # (refine_impl / residual_impl-selected) passes; "fused" runs the
     # single-VMEM-residency Pallas kernel (kernels/interp_pallas.py
     # inter_ctu_fused — refine + transform + quant + reconstruct per CTU,
-    # no HBM intermediate).  Bit-identical; "fused" requires a TPU backend
-    # and the 64x64-CTU / 8x8-TU geometry.
+    # no HBM intermediate); "fused_batched" is the same kernel with
+    # fused_group CTUs per grid step (per-step overhead amortized);
+    # "fused_dma" additionally pulls the refine windows straight from the
+    # reference plane by in-kernel DMA at the MV offsets (no XLA gather,
+    # no window stack in HBM — the fastest path).  All bit-identical;
+    # the fused kernels require a TPU backend and 64x64-CTU / 8x8-TU.
     inter_impl: str = "stages"
+    # CTUs per grid step for the fused_batched / fused_dma kernels.
+    fused_group: int = 6
     # Per-CTU PU-size decision over 64/32/16 (encode/partition.py): one
     # 16x16-granularity search aggregated exactly to every level, each PU
     # refined with its own MV, level chosen by SSD + lambda*numPU.
@@ -98,7 +104,7 @@ class EncodeConfig:
             "refine_impl": ("mxu", "ref"),
             "residual_impl": ("mxu", "pallas", "ref"),
             "intra_mode": ("open_loop", "wavefront"),
-            "inter_impl": ("stages", "fused"),
+            "inter_impl": ("stages", "fused", "fused_batched", "fused_dma"),
         }
         for field, valid in _check.items():
             v = getattr(self, field)
@@ -244,26 +250,51 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
             "nnz": nnz,
             "psnr_db": psnr(cur, recon),
         }
-    if cfg.inter_impl == "fused":
+    if cfg.inter_impl in ("fused", "fused_batched", "fused_dma"):
         # One Pallas kernel: qpel refine + transform/quant/reconstruct per
-        # CTU.  The gather pulls aligned (B+8, 128) slabs so the kernel's
-        # per-step DMAs are full tiles (extra pixels beyond B+7 are inert:
-        # the FIR matrices are zero there).
-        from ..kernels.interp_pallas import inter_ctu_fused
-
+        # CTU (group).  The windows are aligned (B+8, 128) slabs so the
+        # kernel's per-step DMAs are full tiles (extra pixels beyond B+7
+        # are inert: the FIR matrices are zero there).
         start = pos + mv_int + r
-        # Extend the padded plane so the aligned slab gather never clamps
+        # Extend the padded plane so the aligned slab read never clamps
         # at the bottom/right edge (dynamic_slice clamping would shift the
         # used (B+7, B+7) region, not just the inert margin).
         extra_r = (cfg.ctu + 8) - (cfg.ctu + motion.TAPS - 1)
         extra_c = 128 - (cfg.ctu + motion.TAPS - 1)
-        ref_padded_f = ctu_mod.pad_frame(ref_padded, 0, extra_r, 0, extra_c)
-        win = motion.extract_windows(ref_padded_f, start, (cfg.ctu + 8, 128))
         scale, shift, offset = cfg.quant_params(False)
         dscale, dshift = cfg.dequant_params()
-        rec_ctus, frac, _, nnz_tu = inter_ctu_fused(
-            src_ctus, win, scale, shift, offset, dscale, dshift
-        )
+        if cfg.inter_impl == "fused_dma":
+            from ..kernels.interp_pallas import inter_ctu_fused_dma
+
+            # The in-kernel DMA fetches (8, 128)-ALIGNED (80, 256) slabs,
+            # so the plane needs headroom past the largest window start
+            # (start_max = (h - ctu + 2R, w - ctu + 2R); plane is
+            # (h + 2R + 7, w + 2R + 7)): start_max + slab - plane.
+            extra_r2 = 80 - cfg.ctu - (motion.PAD_L + motion.PAD_R)
+            extra_c2 = 256 - cfg.ctu - (motion.PAD_L + motion.PAD_R)
+            ref_padded_d = ctu_mod.pad_frame(
+                ref_padded, 0, max(extra_r2, 0), 0, max(extra_c2, 0)
+            )
+            rec_ctus, frac, _, nnz_tu = inter_ctu_fused_dma(
+                src_ctus, ref_padded_d, start, scale, shift, offset,
+                dscale, dshift, group=cfg.fused_group,
+            )
+        else:
+            ref_padded_f = ctu_mod.pad_frame(ref_padded, 0, extra_r, 0, extra_c)
+            win = motion.extract_windows(ref_padded_f, start, (cfg.ctu + 8, 128))
+            if cfg.inter_impl == "fused_batched":
+                from ..kernels.interp_pallas import inter_ctu_fused_batched
+
+                rec_ctus, frac, _, nnz_tu = inter_ctu_fused_batched(
+                    src_ctus, win, scale, shift, offset, dscale, dshift,
+                    group=cfg.fused_group,
+                )
+            else:
+                from ..kernels.interp_pallas import inter_ctu_fused
+
+                rec_ctus, frac, _, nnz_tu = inter_ctu_fused(
+                    src_ctus, win, scale, shift, offset, dscale, dshift
+                )
         mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
         nnz = jnp.sum(nnz_tu)
     else:

@@ -255,6 +255,328 @@ def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
     return rec, frac[:, 0, 0], cost[:, 0, 0], nnz
 
 
+def _group_body(src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref,
+                pool_ref, *, G, b, qscale, qshift, qoffset, dscale, dshift):
+    """Refine + residual for a group of G CTUs resident in VMEM.
+
+    src3 (G, b, b) int32; win3 (G, b+8, LW) int32 (only the first b+7 rows /
+    columns of each window are live — FIR rows beyond are zero).  Returns
+    (rec_stack (G*b, b) int32, fracs (G,) list, costs (G,) list,
+    nnz (G*8, 8) int32).
+
+    Batching strategy: the H FIR pass is row-independent, so all G windows
+    share ONE (G*(b+8), LW) @ (LW, 4b) matmul; the V pass + candidate
+    scoring + quadrant extraction run per CTU (unrolled — their matmuls are
+    already MXU-shaped and the step overhead is amortized G-ways); the
+    residual pipeline contracts all G CTUs at once via the kron(I_G, BD)
+    block-diagonal (residual_pallas.residual_core_stacked).
+    """
+    from .residual_pallas import residual_core_stacked
+
+    rh = b + 8
+    m4 = 4 * b
+    # --- shared H pass -----------------------------------------------------
+    wrows = win3.reshape(G * rh, _LW)
+    inter_all = jax.lax.dot_general(
+        wrows.astype(jnp.bfloat16), bx_ref[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    inter_all = (inter_all << 16) >> 16                    # (G*rh, 4b)
+
+    ay = ay_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    preds_list, fracs, costs = [], [], []
+    for g in range(G):
+        inter = jnp.pad(inter_all[g * rh : (g + 1) * rh], ((0, _LW - rh), (0, 0)))
+        hi = (inter >> 8).astype(jnp.int8)
+        lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
+        mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
+        ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
+        acc = 256 * mh + ml + 128 * 64
+        preds = jnp.clip((acc + 2048) >> 12, 0, 255)       # (4b, 4b)
+
+        src = src3[g]
+        diff = jnp.abs(preds - jnp.tile(src, (4, 4)))
+        rowsum = jnp.sum(diff.reshape(4, b, m4), axis=1)
+        colsum = jnp.sum(rowsum.T.reshape(4, b, 4), axis=1)
+        sad = colsum.T
+        best_cost = jnp.min(sad)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+        best_idx = jnp.min(jnp.where(sad == best_cost, yy * 4 + xx, 1 << 30))
+
+        yf, xf = best_idx // 4, best_idx % 4
+        lw = max(m4, _LW)
+        predsp = preds if m4 >= _LW else jnp.pad(preds, ((0, 0), (0, lw - m4)))
+        sel = pltpu.roll(predsp, (m4 - yf * b) % m4, axis=0)
+        sel = pltpu.roll(sel, (lw - xf * b) % lw, axis=1)
+        preds_list.append(sel[:b, :b])
+        fracs.append(best_idx)
+        costs.append(best_cost)
+
+    pred_stack = jnp.concatenate(preds_list, axis=0)       # (G*b, b)
+    src_stack = src3.reshape(G * b, b)
+    rec_stack, cnt = residual_core_stacked(
+        src_stack, pred_stack, bd_ref[...], bdg_ref[...], poolg_ref[...],
+        pool_ref[...], qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    return rec_stack, fracs, costs, cnt
+
+
+def _group_constants(G):
+    from .residual_pallas import block_diag_t8
+
+    bd_np = block_diag_t8()
+    pool_np = np.kron(np.eye(8, dtype=np.float32), np.ones((1, 8), np.float32))
+    bx, ay = _fir_matrices(64)
+    return (
+        jnp.asarray(bx).astype(jnp.bfloat16),
+        jnp.asarray(ay).astype(jnp.int8),
+        jnp.asarray(bd_np).astype(jnp.bfloat16),
+        jnp.asarray(np.kron(np.eye(G, dtype=np.int32), bd_np)).astype(jnp.bfloat16),
+        jnp.asarray(np.kron(np.eye(G, dtype=np.float32), pool_np)),
+        jnp.asarray(pool_np),
+    )
+
+
+def _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, rec_stack,
+                         fracs, costs, cnt, *, G, b):
+    rec_ref[...] = rec_stack.reshape(G, b, b).astype(jnp.uint8)
+    frac_ref[...] = jnp.concatenate(
+        [f.reshape(1, 1, 1) for f in fracs], axis=0)
+    cost_ref[...] = jnp.concatenate(
+        [c.reshape(1, 1, 1) for c in costs], axis=0)
+    nnz_ref[...] = cnt.reshape(G, 8, 8)
+
+
+def _inter_kernel_group(src_ref, win_ref, bx_ref, ay_ref, bd_ref, bdg_ref,
+                        poolg_ref, pool_ref, rec_ref, frac_ref, cost_ref,
+                        nnz_ref, *, G, b, qscale, qshift, qoffset, dscale,
+                        dshift):
+    src3 = src_ref[...].astype(jnp.int32)
+    win3 = win_ref[...].astype(jnp.int32)
+    rec_stack, fracs, costs, cnt = _group_body(
+        src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref, pool_ref,
+        G=G, b=b, qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, rec_stack,
+                         fracs, costs, cnt, G=G, b=b)
+
+
+def _pad_group(x, n, steps, G):
+    pad = steps * G - n
+    return x if pad == 0 else jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift",
+                     "group"),
+)
+def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
+                            dscale, dshift, group: int = 6):
+    """Group-batched fused refine + residual: G CTUs per Pallas grid step.
+
+    Same contract as inter_ctu_fused (bit-exact with it; verified in
+    tests/test_inter_fused.py) but with per-step overheads — kernel entry,
+    small-matmul pipeline drain, VPU/MXU handoffs — amortized over `group`
+    CTUs, and the H FIR / residual matmuls enlarged to full MXU shapes.
+    """
+    n, b, _ = src_ctus.shape
+    assert b == 64, "fused inter kernel covers the 64x64-CTU/8x8-TU geometry"
+    G = group
+    steps = -(-n // G)
+    windows = _aligned_windows(windows, b)
+    src_ctus = _pad_group(src_ctus, n, steps, G)
+    windows = _pad_group(windows, n, steps, G)
+    consts = _group_constants(G)
+    kernel = functools.partial(
+        _inter_kernel_group, G=G, b=b, qscale=qscale, qshift=qshift,
+        qoffset=qoffset, dscale=dscale, dshift=dshift,
+    )
+    rec, frac, cost, nnz = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, b + 8, _LW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, 4 * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, _LW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * b, G * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, G * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps * G, b, b), jnp.uint8),
+            jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(src_ctus, windows, *consts)
+    return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n]
+
+
+_SLAB_R, _SLAB_C = 80, 256  # aligned DMA slab: (b+8 rows, 128 cols) rounded
+                            # up to the (8, 128) tiling plus the worst-case
+                            # intra-tile offset (7 rows, 127 cols)
+
+
+def _inter_kernel_dma(off_ref, src_ref, plane_ref, bx_ref, ay_ref, bd_ref,
+                      bdg_ref, poolg_ref, pool_ref, rec_ref, frac_ref,
+                      cost_ref, nnz_ref, win_scratch, sems, *, G, b, qscale,
+                      qshift, qoffset, dscale, dshift):
+    """DMA variant: the refine windows are pulled straight from the padded
+    reference plane at the motion-vector offsets (scalar-prefetched),
+    double-buffered across grid steps — no XLA gather, no HBM round trip of
+    the window stack.
+
+    Mosaic requires DMA offsets aligned to the (8, 128) uint8 tiling, so
+    off_ref carries (y//8, x//128, y%8, x%128) per CTU: the copy fetches an
+    aligned (80, 256) slab and the kernel de-skews it with two dynamic
+    rotates (the same dynamic-rotate ops the quadrant extraction uses)."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    rh = b + 8
+
+    def dma(step, slot, g):
+        j = step * G + g
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off_ref[j, 0] * 8, _SLAB_R),
+                         pl.ds(off_ref[j, 1] * _LW, _SLAB_C)],
+            win_scratch.at[slot, g],
+            sems.at[slot, g],
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            dma(i, slot, g).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        for g in range(G):
+            dma(i + 1, 1 - slot, g).start()
+
+    for g in range(G):
+        dma(i, slot, g).wait()
+
+    rows = []
+    for g in range(G):
+        s = win_scratch[slot, g].astype(jnp.int32)         # (80, 256)
+        dy = off_ref[i * G + g, 2]
+        dx = off_ref[i * G + g, 3]
+        s = pltpu.roll(s, (_SLAB_R - dy) % _SLAB_R, axis=0)
+        s = pltpu.roll(s, (_SLAB_C - dx) % _SLAB_C, axis=1)
+        rows.append(s[:rh, :_LW])
+    win3 = jnp.concatenate(rows, axis=0).reshape(G, rh, _LW)
+
+    src3 = src_ref[...].astype(jnp.int32)
+    rec_stack, fracs, costs, cnt = _group_body(
+        src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref, pool_ref,
+        G=G, b=b, qscale=qscale, qshift=qshift, qoffset=qoffset,
+        dscale=dscale, dshift=dshift,
+    )
+    _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, rec_stack,
+                         fracs, costs, cnt, G=G, b=b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift",
+                     "group"),
+)
+def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
+                        qoffset, dscale, dshift, group: int = 6):
+    """Fused refine + residual with in-kernel window DMA.
+
+    src_ctus (n, 64, 64) uint8; ref_plane (Hp, Wp) uint8 padded so every
+    ALIGNED slab read [8*(y//8), +80) x [128*(x//128), +256) is in range
+    (i.e. Hp >= max_y - max_y % 8 + 80, Wp a multiple of 128 with
+    Wp >= max_x - max_x % 128 + 256); offsets (n, 2) int32 window top-left
+    coords (pos + mv_int + R in padded coords).  Returns the
+    inter_ctu_fused tuple, bit-exact with the gather-based path.
+
+    This is the TPU-native shape of the reference's MC data flow: the asm
+    reads ref pixels directly at mv-derived addresses (pred_inter.c:91-198);
+    here the DMA engine does, overlapped with the previous group's compute.
+    """
+    n, b, _ = src_ctus.shape
+    assert b == 64, "fused inter kernel covers the 64x64-CTU/8x8-TU geometry"
+    G = group
+    steps = -(-n // G)
+    src_ctus = _pad_group(src_ctus, n, steps, G)
+    offsets = _pad_group(offsets, n, steps, G)
+    y, x = offsets[:, 0], offsets[:, 1]
+    offsets = jnp.stack([y // 8, x // _LW, y % 8, x % _LW], axis=-1)
+    consts = _group_constants(G)
+    kernel = functools.partial(
+        _inter_kernel_dma, G=G, b=b, qscale=qscale, qshift=qshift,
+        qoffset=qoffset, dscale=dscale, dshift=dshift,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((_LW, 4 * b), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, _LW), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * b, G * b), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, G * b), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, b, b), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, 1), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, 1), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 8), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, _SLAB_R, _SLAB_C), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    rec, frac, cost, nnz = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((steps * G, b, b), jnp.uint8),
+            jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(offsets, src_ctus, ref_plane, *consts)
+    return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n]
+
+
 from .. import registry as _registry
 from ..config import Tier as _Tier
 

@@ -102,6 +102,36 @@ def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
     return jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32)
 
 
+def residual_core_stacked(src, pred, bd, bdg, poolg, pool, *, qscale, qshift,
+                          qoffset, dscale, dshift):
+    """residual_core over G CTUs stacked along rows, for the group-batched
+    fused inter kernel (kernels/interp_pallas.py).
+
+    src/pred (G*64, 64) int32; bd (64, 64) the 8x8 block-diagonal
+    transform; bdg = kron(I_G, bd) (G*64, G*64); poolg = kron(I_G, pool)
+    (G*8, G*64); pool (8, 64).  Returns (recon (G*64, 64) int32 in
+    [0, 255], nnz (G*8, 8) int32).  Bit-exact with G independent
+    residual_core calls: the row-transform passes are row-independent, and
+    the block-diagonal left passes contract only within each CTU's block
+    (the extra K entries are exact zeros).
+    """
+    res = src - pred
+    s1 = _wrap16((_mm_t(res, bd) + 2) >> 2)
+    coeffs = _wrap16((_mm(bdg, s1) + 256) >> 9)
+
+    sign = jnp.where(coeffs < 0, -1, 1)
+    q = ((jnp.abs(coeffs) * qscale + (qoffset << (qshift - 16))) >> qshift) * sign
+    q = jnp.clip(q, -32768, 32767)
+    nz = (q != 0).astype(jnp.float32)
+    cnt = jnp.dot(jnp.dot(poolg, nz, preferred_element_type=jnp.float32),
+                  pool.T, preferred_element_type=jnp.float32)
+
+    dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
+    r1 = jnp.clip((_mm(bdg.T, dq) + 64) >> 7, -32768, 32767)
+    r2 = jnp.clip((_mm_t(r1, bd.T) + 2048) >> 12, -32768, 32767)
+    return jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32)
+
+
 def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
             qshift, qoffset, dscale, dshift):
     rec, cnt = residual_core(
