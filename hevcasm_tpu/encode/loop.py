@@ -266,17 +266,11 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
         if cfg.inter_impl == "fused_dma":
             from ..kernels.interp_pallas import inter_ctu_fused_dma
 
-            # The in-kernel DMA fetches (8, 128)-ALIGNED (80, 256) slabs,
-            # so the plane needs headroom past the largest window start
-            # (start_max = (h - ctu + 2R, w - ctu + 2R); plane is
-            # (h + 2R + 7, w + 2R + 7)): start_max + slab - plane.
-            extra_r2 = 80 - cfg.ctu - (motion.PAD_L + motion.PAD_R)
-            extra_c2 = 256 - cfg.ctu - (motion.PAD_L + motion.PAD_R)
-            ref_padded_d = ctu_mod.pad_frame(
-                ref_padded, 0, max(extra_r2, 0), 0, max(extra_c2, 0)
-            )
+            # The kernel self-pads the plane for its (8, 128)-aligned slab
+            # reads; every used (B+7, B+7) window is in-plane by the
+            # ref_padded construction above.
             rec_ctus, frac, _, nnz_tu = inter_ctu_fused_dma(
-                src_ctus, ref_padded_d, start, scale, shift, offset,
+                src_ctus, ref_padded, start, scale, shift, offset,
                 dscale, dshift, group=cfg.fused_group,
             )
         else:

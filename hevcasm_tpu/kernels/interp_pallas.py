@@ -379,10 +379,12 @@ def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
                             dscale, dshift, group: int = 6):
     """Group-batched fused refine + residual: G CTUs per Pallas grid step.
 
-    Same contract as inter_ctu_fused (bit-exact with it; verified in
-    tests/test_inter_fused.py) but with per-step overheads — kernel entry,
-    small-matmul pipeline drain, VPU/MXU handoffs — amortized over `group`
-    CTUs, and the H FIR / residual matmuls enlarged to full MXU shapes.
+    Same contract as inter_ctu_fused — bit-exact with it for any n,
+    including n % group != 0 (tests/test_inter_fused.py
+    test_fused_batched_matches_fused) — but with per-step overheads —
+    kernel entry, small-matmul pipeline drain, VPU/MXU handoffs — amortized
+    over `group` CTUs, and the H FIR / residual matmuls enlarged to full
+    MXU shapes.
     """
     n, b, _ = src_ctus.shape
     assert b == 64, "fused inter kernel covers the 64x64-CTU/8x8-TU geometry"
@@ -501,12 +503,15 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
                         qoffset, dscale, dshift, group: int = 6):
     """Fused refine + residual with in-kernel window DMA.
 
-    src_ctus (n, 64, 64) uint8; ref_plane (Hp, Wp) uint8 padded so every
-    ALIGNED slab read [8*(y//8), +80) x [128*(x//128), +256) is in range
-    (i.e. Hp >= max_y - max_y % 8 + 80, Wp a multiple of 128 with
-    Wp >= max_x - max_x % 128 + 256); offsets (n, 2) int32 window top-left
-    coords (pos + mv_int + R in padded coords).  Returns the
-    inter_ctu_fused tuple, bit-exact with the gather-based path.
+    src_ctus (n, 64, 64) uint8; ref_plane (Hp, Wp) uint8; offsets (n, 2)
+    int32 window top-left coords (pos + mv_int + R in padded coords).  The
+    only caller obligation is that each USED (b+7, b+7) window lies inside
+    the plane; the wrapper pads the plane so every ALIGNED slab read
+    [8*(y//8), +80) x [128*(x//128), +256) is in range and the padded width
+    is the 128-lane multiple Mosaic requires (the pad content is inert: the
+    de-skew rolls place only the used window in the live region).  Returns
+    the inter_ctu_fused tuple, bit-exact with the gather-based path
+    (tests/test_inter_fused.py test_fused_dma_matches_fused).
 
     This is the TPU-native shape of the reference's MC data flow: the asm
     reads ref pixels directly at mv-derived addresses (pred_inter.c:91-198);
@@ -514,6 +519,13 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
     """
     n, b, _ = src_ctus.shape
     assert b == 64, "fused inter kernel covers the 64x64-CTU/8x8-TU geometry"
+    hp, wp = ref_plane.shape
+    # Worst-case slab reach past a valid offset (y + 71 <= Hp): 8-aligned
+    # row start + 80 rows <= Hp + 9; columns likewise <= Wp + 185.  Round
+    # the width up to a multiple of 128 (ADVICE r2: previously a caller
+    # precondition that nothing established for non-128-multiple frames).
+    pad_c = 185 + (-(wp + 185) % _LW)
+    ref_plane = jnp.pad(ref_plane, ((0, 16), (0, pad_c)))
     G = group
     steps = -(-n // G)
     src_ctus = _pad_group(src_ctus, n, steps, G)
@@ -531,7 +543,7 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
         in_specs=[
             pl.BlockSpec((G, b, b), lambda i, off: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_LW, 4 * b), lambda i, off: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * b, _LW), lambda i, off: (0, 0),

@@ -179,27 +179,36 @@ def encode_gop_closed_loop_spatial(
     sharded over mesh axis 'rows' — the conforming-encoder GOP chain of
     encode/video.encode_gop_closed_loop, spatially distributed.
 
-    The lax.scan over frames runs INSIDE one shard_map: per frame, each
+    Frame 0 is encoded with the closed-loop wavefront intra encoder (its
+    wave schedule is sequential, so it runs replicated outside the
+    shard_map; one frame of T) and seeds the chain — the same conforming
+    I+P chain as encode/video.encode_gop_closed_loop (VERDICT r2 #4).  The
+    lax.scan over P frames runs INSIDE one shard_map: per frame, each
     device encodes its band after a ppermute halo exchange of the previous
     reconstruction; only the (halo_t + halo_b) boundary rows ever cross
-    chips.  frames_y: (T, H, W) uint8.  Returns {recon (T-1, H, W),
-    psnr_db (T-1,)} bit-identical to the single-chip closed-loop GOP
-    (tests/test_parallel.py).
+    chips.  frames_y: (T, H, W) uint8.  Returns {recon (T, H, W) with the
+    I frame first, psnr_db (T,)} bit-identical to the single-chip
+    closed-loop GOP (tests/test_parallel.py).
     """
+    from ..encode.intra_wavefront import encode_intra_frame_wavefront
+
     t, h, w = frames_y.shape
     nrows = mesh.shape["rows"]
     band_h = h // nrows
     assert band_h * nrows == h and band_h % cfg.ctu == 0
 
+    intra = encode_intra_frame_wavefront(frames_y[0], cfg)
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, "rows", None),),
+        in_specs=(P(None, "rows", None), P("rows", None)),
         out_specs={"recon": P(None, "rows", None), "psnr_db": P()},
         check_vma=False,
     )
-    def run(frames_band):
-        frames_band = frames_band.reshape(t, band_h, w)
+    def run(frames_band, seed_band):
+        frames_band = frames_band.reshape(t - 1, band_h, w)
+        seed_band = seed_band.reshape(band_h, w)
 
         def body(prev_band, cur_band):
             recon, _, _, frame_psnr = _band_frame_step(
@@ -207,8 +216,15 @@ def encode_gop_closed_loop_spatial(
             )
             return recon, (recon, frame_psnr)
 
-        _, (recs, psnrs) = jax.lax.scan(body, frames_band[0], frames_band[1:])
+        _, (recs, psnrs) = jax.lax.scan(body, seed_band, frames_band)
         return {"recon": recs, "psnr_db": psnrs}
 
     sh = NamedSharding(mesh, P(None, "rows", None))
-    return jax.jit(run)(jax.device_put(frames_y, sh))
+    out = jax.jit(run)(
+        jax.device_put(frames_y[1:], sh),
+        jax.device_put(intra["recon"], NamedSharding(mesh, P("rows", None))),
+    )
+    return {
+        "recon": jnp.concatenate([intra["recon"][None], out["recon"]]),
+        "psnr_db": jnp.concatenate([intra["psnr_db"][None], out["psnr_db"]]),
+    }

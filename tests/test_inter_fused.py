@@ -60,3 +60,87 @@ def test_fused_kernel_matches_parts(frames):
     assert np.array_equal(np.asarray(frac_f), np.asarray(frac))
     assert np.array_equal(np.asarray(cost_f), np.asarray(cost))
     assert np.array_equal(np.asarray(nnz_f), np.asarray(nnz))
+
+
+def test_fused_batched_matches_fused(frames):
+    """inter_ctu_fused_batched == inter_ctu_fused, incl. n % group != 0."""
+    import jax.numpy as jnp
+
+    from hevcasm_tpu.encode import ctu as ctu_mod, motion
+    from hevcasm_tpu.kernels.interp_pallas import (
+        inter_ctu_fused, inter_ctu_fused_batched)
+
+    cur, ref = frames
+    cfg = EncodeConfig(search_range=8)
+    rng = np.random.default_rng(11)
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    n = src.shape[0]  # 6 CTUs
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), 8, 8 + 80, 8, 8 + 80)
+    pos = motion.ctu_positions(2, 3, 64)
+    mvs = jnp.asarray(rng.integers(-8, 9, (n, 2), dtype=np.int32))
+    win = motion.extract_windows(rp, pos + mvs + 8, (72, 128))
+
+    scale, shift, offset = cfg.quant_params(False)
+    dscale, dshift = cfg.dequant_params()
+    want = inter_ctu_fused(src, win, scale, shift, offset, dscale, dshift)
+    for group in (4, 6, 2):  # n=6: remainder 2, exact, exact
+        got = inter_ctu_fused_batched(
+            src, win, scale, shift, offset, dscale, dshift, group=group)
+        for w, g in zip(want, got):
+            assert np.array_equal(np.asarray(w), np.asarray(g)), f"group={group}"
+
+
+def test_fused_dma_matches_fused(frames):
+    """inter_ctu_fused_dma (in-kernel slab DMA + de-skew) == the gather
+    path, incl. edge CTUs (offsets 0 and max) and a plane width that is NOT
+    a multiple of 128 (the wrapper must self-pad, ADVICE r2)."""
+    import jax.numpy as jnp
+
+    from hevcasm_tpu.encode import ctu as ctu_mod, motion
+    from hevcasm_tpu.kernels.interp_pallas import (
+        inter_ctu_fused, inter_ctu_fused_dma)
+
+    cur, ref = frames
+    cfg = EncodeConfig(search_range=8)
+    rng = np.random.default_rng(13)
+    h, w = cur.shape
+    r = 8
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    n = src.shape[0]
+    # The loop.py plane: (h + 2r + 7, w + 2r + 7) = (151, 215); 215 % 128 != 0.
+    rp = ctu_mod.pad_frame(
+        jnp.asarray(ref), r + motion.PAD_L, r + motion.PAD_R,
+        r + motion.PAD_L, r + motion.PAD_R)
+    pos = motion.ctu_positions(2, 3, 64)
+    mvs = np.asarray(rng.integers(-r, r + 1, (n, 2), dtype=np.int32))
+    mvs[0] = (-r, -r)   # corner CTU pushed to the plane origin (offset 0, 0)
+    mvs[-1] = (r, r)    # corner CTU pushed to the max offset
+    mvs = jnp.asarray(mvs)
+    start = pos + mvs + r
+
+    scale, shift, offset = cfg.quant_params(False)
+    dscale, dshift = cfg.dequant_params()
+    # Gather path for the expected values.
+    rp_g = ctu_mod.pad_frame(rp, 0, 9, 0, 121)  # room for (72, 128) windows
+    win = motion.extract_windows(rp_g, start, (72, 128))
+    want = inter_ctu_fused(src, win, scale, shift, offset, dscale, dshift)
+    for group in (4, 6):
+        got = inter_ctu_fused_dma(
+            src, rp, start, scale, shift, offset, dscale, dshift, group=group)
+        for w_, g_ in zip(want, got):
+            assert np.array_equal(np.asarray(w_), np.asarray(g_)), f"group={group}"
+
+
+def test_fused_impls_match_stages_end_to_end(frames):
+    """encode_inter_frame with every fused inter_impl == the staged path."""
+    cur, ref = frames
+    out_s = encode_inter_frame(cur, ref, EncodeConfig(search_range=8))
+    for impl in ("fused_batched", "fused_dma"):
+        out_f = encode_inter_frame(
+            cur, ref,
+            EncodeConfig(search_range=8, inter_impl=impl, fused_group=4))
+        assert np.array_equal(
+            np.asarray(out_s["recon"]), np.asarray(out_f["recon"])), impl
+        assert np.array_equal(
+            np.asarray(out_s["mvs"]), np.asarray(out_f["mvs"])), impl
+        assert int(out_s["nnz"]) == int(out_f["nnz"]), impl

@@ -89,7 +89,7 @@ def test_closed_loop_gop(rng):
     clip = _yuv_clip(rng, 4, 128, 128)
     cfg = EncodeConfig(search_range=8, qp=27)
     out = encode_gop_closed_loop(clip.y, cfg, 4)
-    assert out["recon"].shape == (3, 128, 128)
+    assert out["recon"].shape == (4, 128, 128)  # I frame + 3 P frames
     # closed-loop quality should not collapse over the chain
     psnrs = np.asarray(out["psnr_db"])
     assert psnrs.min() > 35.0
