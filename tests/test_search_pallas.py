@@ -49,3 +49,19 @@ def test_ssd_grid_2d_contract(rng):
     got = np.asarray(search_pallas.ssd_grid(src, win, num, num))
     assert got.shape == (num, num)
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("chunks", [1, 2, 4, 8, 16])
+def test_ssd_grid_chunked(rng, chunks):
+    """Chunked-K formulation == unchunked == XLA oracle, incl. asymmetric
+    grids and both 64 and 32 block sizes."""
+    for b, ndy, ndx in [(64, 65, 65), (64, 9, 17), (32, 33, 33)]:
+        n = 2
+        wh, ww = b + ndy - 1, b + ndx - 1
+        src = rng.integers(0, 256, (n, b, b), dtype=np.uint8)
+        win = rng.integers(0, 256, (n, wh, ww), dtype=np.uint8)
+        ref = np.asarray(xla_opt.ssd_grid(src, win, ndy, ndx))
+        got = np.asarray(
+            search_pallas.ssd_grid(src, win, ndy, ndx, chunks=chunks)
+        )
+        assert np.array_equal(got, ref), (b, ndy, ndx, chunks)
