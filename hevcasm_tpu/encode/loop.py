@@ -87,10 +87,15 @@ class EncodeConfig:
     inter_impl: str = "stages"
     # CTUs per grid step for the fused_batched / fused_dma kernels.
     fused_group: int = 6
-    # Per-CTU PU-size decision over 64/32/16 (encode/partition.py): one
-    # 16x16-granularity search aggregated exactly to every level, each PU
-    # refined with its own MV, level chosen by SSD + lambda*numPU.
+    # Per-CTU PU-layout decision (encode/partition.py): ONE base-
+    # granularity search + integral-image aggregation gives the exact SSD
+    # grid of every rectangular PU; each PU refines with its own MV (one
+    # qpel fraction per PU); the layout minimising SSD + lambda*numPU wins.
     pu_decision: bool = False
+    # Candidate layouts (keys of partition.PU_LAYOUTS): square levels
+    # 2Nx2N/NxN/quarter(16x16)/eighth(8x8) and the rectangular 2NxN/Nx2N
+    # splits.  Adding "eighth" drops the search granularity to 8x8.
+    pu_layouts: tuple = ("2Nx2N", "2NxN", "Nx2N", "NxN", "quarter")
     # Per-CTU TU-size selection: run the residual pipeline at each listed
     # size and pick by distortion + lambda*nnz.  () = fixed cfg.tu.
     tu_sizes: tuple = ()
@@ -110,6 +115,13 @@ class EncodeConfig:
             v = getattr(self, field)
             if v not in valid:
                 raise ValueError(f"{field}={v!r} (valid: {', '.join(valid)})")
+        from .partition import PU_LAYOUTS
+
+        for name in self.pu_layouts:
+            if name not in PU_LAYOUTS:
+                raise ValueError(
+                    f"pu_layouts entry {name!r} (valid: {', '.join(PU_LAYOUTS)})"
+                )
 
     @property
     def tu_log2(self) -> int:
@@ -191,8 +203,9 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
 
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
     if cfg.pu_decision:
-        # Variable PU structure: 16x16-granularity search, exact grid
-        # aggregation to 32/64, per-CTU level choice, per-PU qpel refine.
+        # Variable PU structure: one base-granularity search, exact
+        # integral-grid aggregation to every (incl. rectangular) layout,
+        # per-PU MVs + one qpel fraction per PU, layout chosen by cost.
         from . import partition
 
         size = cfg.ctu + 2 * r
@@ -202,13 +215,13 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
             )
         else:
             win = motion.extract_windows(ref_padded, pos + motion.PAD_L, size)
-        search = partition.multi_level_search(src_ctus, win, r, grid_fn)
         lam = partition.mv_lambda(cfg.qp)
-        pred, level, mvq = partition.select_pu_pred(
-            src_ctus, ref_padded, pos, search, r, lam
+        pred, choice, mvq, best_sad = partition.select_pu_layout(
+            src_ctus, ref_padded, pos, win, r, lam, cfg.pu_layouts, grid_fn
         )
-        best_sad = search["best64"]
-        mv_qpel = mvq["q64"][:, 0, 0, :]  # CTU-level MV (per-PU MVs in mvq)
+        # Frame-level "mvs" report: the whole-CTU (2Nx2N) MV when that
+        # layout is a candidate, else the first layout's first PU.
+        mv_qpel = mvq.get("2Nx2N", next(iter(mvq.values())))[:, 0, :]
         if cfg.tu_sizes:
             rec_ctus, tu_choice, nnz = partition.select_tu_recon(
                 src_ctus, pred, cfg, cfg.tu_sizes
@@ -219,7 +232,7 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
         return {
             "recon": recon,
             "mvs": mv_qpel,
-            "pu_level": level,
+            "pu_layout": choice,
             "sad": best_sad,
             "nnz": nnz,
             "psnr_db": psnr(cur, recon),
@@ -323,9 +336,13 @@ def encode_inter_frame_multiref(
     """P frame with multiple reference frames: per-CTU reference selection.
 
     refs: (k, H, W) candidate reference planes (e.g. the last k
-    reconstructions).  Each CTU searches every reference and takes the one
-    with the best score — the encoder-level use of the multi-reference SAD
-    capability (sad.h:94-112 exists exactly for this loop).
+    reconstructions).  All k references are searched in ONE batched grid
+    call (motion.full_search_multi — the k-way generalisation of the
+    reference's 4-way multiref SAD, sad.h:94-112) and the (ref, mv) pair
+    minimizing the integer score is selected jointly per CTU; one compile
+    regardless of k.  k == 1 is bit-identical to encode_inter_frame.  The
+    fused inter_impl modes work on the k planes stacked into one flat
+    plane (offset rows select the reference).
     """
     h, w = cur.shape
     k = refs.shape[0]
@@ -335,41 +352,79 @@ def encode_inter_frame_multiref(
     pos = motion.ctu_positions(gr, gc, cfg.ctu)
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
 
-    preds, scores, mvs = [], [], []
-    for i in range(k):
-        ref = refs[i]
-        ref_padded = ctu_mod.pad_frame(
-            ref, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
+    planes = jax.vmap(
+        lambda p: ctu_mod.pad_frame(
+            p, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
         )
-        if cfg.me_strategy == "pyramid":
-            mv_int, _ = motion.pyramid_search(
-                src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+    )(refs)                                              # (k, Hp, Wp)
+    mv_int, ref_idx, _ = motion.full_search_multi(
+        src_ctus, planes, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+    )
+
+    hp, wp = planes.shape[1], planes.shape[2]
+    flat = planes.reshape(k * hp, wp)
+    start = pos + mv_int + r
+    row0 = ref_idx * hp + start[:, 0]
+
+    if cfg.inter_impl in ("fused", "fused_batched", "fused_dma"):
+        scale, shift, offset = cfg.quant_params(False)
+        dscale, dshift = cfg.dequant_params()
+        offs = jnp.stack([row0, start[:, 1]], axis=-1)
+        if cfg.inter_impl == "fused_dma":
+            from ..kernels.interp_pallas import inter_ctu_fused_dma
+
+            rec_ctus, frac, _, nnz_tu = inter_ctu_fused_dma(
+                src_ctus, flat, offs, scale, shift, offset, dscale, dshift,
+                group=cfg.fused_group,
             )
         else:
-            mv_int, _ = motion.full_search(
-                src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc)
+            # Gather aligned (B+8, 128) slabs from the flat plane; pad so
+            # the gather never clamps (cross-plane rows are inert).
+            flat_g = jnp.pad(flat, ((0, 9), (0, 121)))
+            win = motion.extract_windows(
+                flat_g, offs, (cfg.ctu + 8, 128)
             )
-        pred, mv_qpel, _ = motion.refine_quarter_pel(src_ctus, ref_padded, pos, mv_int, r)
-        preds.append(pred)
-        mvs.append(mv_qpel)
-        # Score the refined prediction per CTU with SAD (cheap, consistent
-        # across references).
-        d = src_ctus.astype(jnp.int32) - pred.astype(jnp.int32)
-        scores.append(jnp.sum(jnp.abs(d), axis=(-2, -1)))
+            if cfg.inter_impl == "fused_batched":
+                from ..kernels.interp_pallas import inter_ctu_fused_batched
 
-    preds = jnp.stack(preds, axis=1)     # (n, k, B, B)
-    scores = jnp.stack(scores, axis=1)   # (n, k)
-    mvs = jnp.stack(mvs, axis=1)         # (n, k, 2)
-    best = jnp.argmin(scores, axis=-1).astype(jnp.int32)
-    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
-    mv_qpel = jnp.take_along_axis(mvs, best[:, None, None], axis=1)[:, 0]
+                rec_ctus, frac, _, nnz_tu = inter_ctu_fused_batched(
+                    src_ctus, win, scale, shift, offset, dscale, dshift,
+                    group=cfg.fused_group,
+                )
+            else:
+                from ..kernels.interp_pallas import inter_ctu_fused
+
+                rec_ctus, frac, _, nnz_tu = inter_ctu_fused(
+                    src_ctus, win, scale, shift, offset, dscale, dshift
+                )
+        mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
+        recon = ctu_mod.untile_frame(rec_ctus, h, w)
+        return {
+            "recon": recon,
+            "mvs": mv_qpel,
+            "ref_idx": ref_idx,
+            "nnz": jnp.sum(nnz_tu),
+            "psnr_db": psnr(cur, recon),
+        }
+
+    win = motion.extract_windows(
+        flat, jnp.stack([row0, start[:, 1]], axis=-1), cfg.ctu + motion.TAPS - 1
+    )
+    if cfg.fused_refine:
+        from ..kernels.interp_pallas import refine_quarter_pel_fused as _refine
+    elif cfg.refine_impl == "mxu":
+        from ..kernels.interp_xla import refine_quarter_pel_mxu as _refine
+    else:
+        from ..ops.pred_inter import refine_qpel as _refine
+    pred, frac, _ = _refine(src_ctus, win)
+    mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
 
     rec_ctus, nnz, _ = _residual_pipeline(src_ctus, pred, cfg, intra=False)
     recon = ctu_mod.untile_frame(rec_ctus, h, w)
     return {
         "recon": recon,
         "mvs": mv_qpel,
-        "ref_idx": best,
+        "ref_idx": ref_idx,
         "nnz": nnz,
         "psnr_db": psnr(cur, recon),
     }

@@ -23,6 +23,7 @@ __all__ = [
     "ctu_positions",
     "extract_windows",
     "full_search",
+    "full_search_multi",
     "refine_quarter_pel",
     "grid_metric_fn",
 ]
@@ -136,6 +137,54 @@ def full_search(
     best_sad = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
     mv = jnp.stack([best // num - r, best % num - r], axis=-1)
     return mv, best_sad
+
+
+def full_search_multi(
+    src_ctus: jnp.ndarray,
+    planes: jnp.ndarray,
+    positions: jnp.ndarray,
+    search_range: int,
+    grid_fn=sad_grid,
+    grid: tuple[int, int] | None = None,
+    joint: bool = True,
+):
+    """Integer full search against k stacked reference planes in ONE
+    batched grid call — the k-way generalisation of the reference's 4-way
+    multiref SAD (sad.h:94-112), searched single-pass instead of a Python
+    loop over references (VERDICT r2 #6).
+
+    planes: (k, Hp, Wp) each padded like full_search's ref_padded.  With
+    ``joint`` (P-frame reference selection), returns (mv (n, 2),
+    ref_idx (n,), best (n,)) minimizing the score over (ref, dy, dx)
+    jointly; k == 1 is bit-identical to full_search.  With joint=False
+    (B-frame style), returns per-reference (mv (k, n, 2), best (k, n)).
+    """
+    k = planes.shape[0]
+    n, b = src_ctus.shape[0], src_ctus.shape[-1]
+    r = search_range
+    num = 2 * r + 1
+    size = b + 2 * r
+    wins = []
+    for i in range(k):
+        if grid is not None and size % b == 0:
+            wins.append(extract_aligned_windows(planes[i], (PAD_L, PAD_L), grid, b, size))
+        else:
+            wins.append(extract_windows(planes[i], positions + PAD_L, size))
+    win = jnp.concatenate(wins, axis=0)                  # (k*n, S, S)
+    srcs = jnp.tile(src_ctus, (k, 1, 1))                 # (k*n, b, b)
+    scores = grid_fn(srcs, win, num, num).reshape(k, n, num * num)
+    if joint:
+        flat = jnp.moveaxis(scores, 0, 1).reshape(n, k * num * num)
+        best = jnp.argmin(flat, axis=-1).astype(jnp.int32)
+        best_score = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+        ref_idx = best // (num * num)
+        rem = best % (num * num)
+        mv = jnp.stack([rem // num - r, rem % num - r], axis=-1)
+        return mv, ref_idx, best_score
+    best = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # (k, n)
+    best_score = jnp.take_along_axis(scores, best[..., None], axis=-1)[..., 0]
+    mv = jnp.stack([best // num - r, best % num - r], axis=-1)
+    return mv, best_score
 
 
 def _downsample4(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,33 +1,38 @@
-"""Variable block structure: per-CTU PU-size decision (64/32/16) and
-per-CTU TU-size selection (4/8/16/32).
+"""Variable block structure: per-CTU PU-layout decision (square 64/32/16/8
+levels plus the rectangular 2NxN / Nx2N splits) and per-CTU TU-size
+selection (4/8/16/32).
 
-The reference keys every kernel table on block geometry (sad.h:52-67,
-pred_inter.h:58-67, residual_decode.h:56-74) and leaves the split decisions
-to client encoders.  The TPU-native formulation keeps every shape static and
-turns the decisions into masked selections between frame-batched
-alternatives:
+The reference keys every kernel table on block geometry — including the
+non-square partitions (sad.h:52-67, pred_inter.h:58-67,
+residual_decode.h:56-74) — and leaves the split decisions to client
+encoders.  The TPU-native formulation keeps every shape static and turns
+the decisions into masked selections between frame-batched alternatives:
 
 * Motion/PU: the integer-SSD candidate grid is ADDITIVE over sub-blocks —
-  grid(CTU) == sum of the grids of its 16x16 sub-blocks at the same
-  displacement.  So ONE search at 16x16 granularity yields the exact grids
-  of every PU level by summation: g16 (4, 4, grid), g32 = 2x2 box sums,
-  g64 = total.  Each PU then takes its own argmin (independent MVs), and
-  the per-CTU level choice minimises  sum(best SSD) + lambda_mv * num_PUs
-  (a rate proxy for the extra motion vectors).
+  grid(PU) == sum of the grids of its base-granularity sub-blocks at the
+  same displacement.  ONE search at base granularity (16, or 8 when the
+  "eighth" layout is enabled) plus a 2-D integral image over the sub-block
+  grid yields the exact grid of EVERY rectangular PU in O(1) lookups.
+  Each PU takes its own argmin (independent MVs); the per-CTU layout
+  choice minimises  sum(best SSD) + lambda_mv * num_PUs (a motion-rate
+  proxy).
 
-* TU: the fused residual pipeline runs per candidate TU size over the whole
-  frame (block-diagonal kron(I, T_tu) matmuls, kernels/xla_opt.py), and the
-  per-CTU choice minimises  SSD(src, recon) + lambda_tu * nnz  (distortion
-  plus a coded-coefficient rate proxy).  This exercises the 4/8/16/32
-  transforms end-to-end.
+* Quarter-pel refinement for any PU shape: each PU is tiled by squares of
+  side min(h, w); all tiles' 16-candidate cost maps
+  (kernels/interp_xla.refine_qpel_costmap_mxu) are summed per PU, ONE
+  fraction is chosen for the whole PU (one MV per PU, as HEVC requires),
+  and each tile's prediction at that fraction is assembled.
 
-Both decisions are bit-reproducible given the config; tests verify grid
-additivity against independent per-PU searches and the end-to-end paths.
+* TU: the fused residual pipeline runs per candidate TU size over the
+  whole frame (block-diagonal kron(I, T_tu) matmuls), and the per-CTU
+  choice minimises SSD + lambda_tu * nnz.
+
+All decisions are bit-reproducible given the config; tests verify grid
+additivity against independent searches and the end-to-end paths
+(tests/test_partition.py).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +40,22 @@ import jax.numpy as jnp
 from . import ctu as ctu_mod
 from . import motion
 
-__all__ = ["multi_level_search", "select_pu_pred", "select_tu_recon", "mv_lambda"]
+__all__ = [
+    "PU_LAYOUTS", "base_for", "base_grid_search", "grid_integral",
+    "rect_grid", "layout_decision", "refine_layout", "select_pu_layout",
+    "multi_level_search", "select_tu_recon", "mv_lambda",
+]
+
+# Layout name -> PU rects (y0, x0, h, w) tiling the 64x64 CTU.  The HEVC
+# split modes at depth 0 plus the deeper square levels the r2 encoder had.
+PU_LAYOUTS = {
+    "2Nx2N": ((0, 0, 64, 64),),
+    "2NxN": ((0, 0, 32, 64), (32, 0, 32, 64)),
+    "Nx2N": ((0, 0, 64, 32), (0, 32, 64, 32)),
+    "NxN": tuple((32 * i, 32 * j, 32, 32) for i in range(2) for j in range(2)),
+    "quarter": tuple((16 * i, 16 * j, 16, 16) for i in range(4) for j in range(4)),
+    "eighth": tuple((8 * i, 8 * j, 8, 8) for i in range(8) for j in range(8)),
+}
 
 
 def mv_lambda(qp: int) -> int:
@@ -44,14 +64,9 @@ def mv_lambda(qp: int) -> int:
     return max(1, int(round(0.85 * 2.0 ** ((qp - 12) / 3.0))))
 
 
-def _grid_levels(g16: jnp.ndarray):
-    """g16 (n, 4, 4, dy, dx) int32 -> (g32 (n, 2, 2, dy, dx), g64 (n, dy, dx))."""
-    n, _, _, ndy, ndx = g16.shape
-    g32 = (
-        g16.reshape(n, 2, 2, 2, 2, ndy, ndx).sum(axis=(2, 4))
-    )
-    g64 = g32.sum(axis=(1, 2))
-    return g32, g64
+def base_for(layouts) -> int:
+    """Base search granularity: the smallest PU side over the layout set."""
+    return min(min(r[2], r[3]) for name in layouts for r in PU_LAYOUTS[name])
 
 
 def _argmin_grid(g: jnp.ndarray, r: int):
@@ -64,90 +79,158 @@ def _argmin_grid(g: jnp.ndarray, r: int):
     return mv, best
 
 
-def multi_level_search(src_ctus: jnp.ndarray, windows: jnp.ndarray, r: int,
-                       grid_fn):
-    """Full search at 16x16 granularity + exact grid aggregation to 32/64.
+def base_grid_search(src_ctus: jnp.ndarray, windows: jnp.ndarray, r: int,
+                     grid_fn, base: int) -> jnp.ndarray:
+    """Full search at (base x base) granularity.
 
-    src_ctus (n, 64, 64); windows (n, 64+2r, 64+2r) search windows (the
-    CTU-level window; each 16x16 sub-block's window is a slice of it).
-    Returns dict with per-level (mv, best):
-      mv16 (n, 4, 4, 2), mv32 (n, 2, 2, 2), mv64 (n, 2) and matching bests.
-    """
+    src_ctus (n, 64, 64); windows (n, 64+2r, 64+2r) CTU-level search
+    windows (each sub-block's window is a slice).  Returns the exact SSD
+    grids g (n, k, k, num, num) with k = 64 // base."""
     n = src_ctus.shape[0]
     num = 2 * r + 1
-    # 16x16 sub-blocks, row-major (i, j).
-    src16 = ctu_mod.split_blocks(src_ctus, 16)              # (n*16, 16, 16)
-    # Sub-block (i, j)'s +-r window is the CTU window shifted by its offset.
-    wsub = 16 + 2 * r
-    slabs = [windows[:, 16 * i : 16 * i + wsub, 16 * j : 16 * j + wsub]
-             for i in range(4) for j in range(4)]
-    win16 = jnp.stack(slabs, axis=1).reshape(n * 16, wsub, wsub)
-    g16 = grid_fn(src16, win16, num, num).reshape(n, 4, 4, num, num)
-    g32, g64 = _grid_levels(g16)
-    mv16, b16 = _argmin_grid(g16, r)
-    mv32, b32 = _argmin_grid(g32, r)
-    mv64, b64 = _argmin_grid(g64, r)
-    return {
-        "mv16": mv16, "best16": b16,
-        "mv32": mv32, "best32": b32,
-        "mv64": mv64, "best64": b64,
-    }
+    k = 64 // base
+    srcb = ctu_mod.split_blocks(src_ctus, base)          # (n*k*k, base, base)
+    wsub = base + 2 * r
+    slabs = [windows[:, base * i : base * i + wsub, base * j : base * j + wsub]
+             for i in range(k) for j in range(k)]
+    winb = jnp.stack(slabs, axis=1).reshape(n * k * k, wsub, wsub)
+    return grid_fn(srcb, winb, num, num).reshape(n, k, k, num, num)
 
 
-def pu_level_costs(search, lam: int):
-    """Per-CTU costs of the three PU layouts: sum of best SSDs plus
-    lambda * (number of PUs) as the motion-rate proxy.  Returns
-    (cost64, cost32, cost16) each (n,) int32."""
-    c64 = search["best64"] + lam * 1
-    c32 = search["best32"].sum(axis=(1, 2)) + lam * 4
-    c16 = search["best16"].sum(axis=(1, 2)) + lam * 16
-    return c64, c32, c16
+def grid_integral(g: jnp.ndarray) -> jnp.ndarray:
+    """2-D integral image over the sub-block axes (zero-padded), so any
+    rectangular PU's grid is 4 lookups.  SSD sums stay < 2^31 (a whole-CTU
+    SSD is at most 64*64*255^2 ~ 2.7e8)."""
+    gi = jnp.cumsum(jnp.cumsum(g.astype(jnp.int32), axis=1), axis=2)
+    return jnp.pad(gi, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
 
 
-def _refine_subblocks(src_ctus, ref_padded, pos, mvs, r, sub: int):
-    """Quarter-pel refine every (sub x sub) PU of each CTU with its own MV.
+def rect_grid(gint: jnp.ndarray, rect, base: int) -> jnp.ndarray:
+    """Exact SSD grid of the PU `rect` from the integral image: (n, num, num)."""
+    y0, x0, h, w = rect
+    i0, j0 = y0 // base, x0 // base
+    i1, j1 = (y0 + h) // base, (x0 + w) // base
+    return (gint[:, i1, j1] - gint[:, i0, j1]
+            - gint[:, i1, j0] + gint[:, i0, j0])
 
-    mvs (n, k, k, 2) with k = 64 // sub.  Returns pred (n, 64, 64)."""
-    from ..kernels.interp_pallas import refine_quarter_pel_fused
+
+def layout_decision(gint: jnp.ndarray, layouts, r: int, lam: int, base: int):
+    """Integer-MV argmin per PU per layout + per-CTU layout costs.
+
+    Returns (costs (n, L) int32, mvs {layout: (n, P, 2)} integer MVs)."""
+    costs, mvs = [], {}
+    for name in layouts:
+        rects = PU_LAYOUTS[name]
+        tot = 0
+        mvl = []
+        for rect in rects:
+            g = rect_grid(gint, rect, base)
+            mv, best = _argmin_grid(g, r)
+            tot = tot + best
+            mvl.append(mv)
+        costs.append(tot + lam * len(rects))
+        mvs[name] = jnp.stack(mvl, axis=1)
+    return jnp.stack(costs, axis=-1), mvs
+
+
+def refine_layout(src_ctus, ref_padded, pos, rects, mvs, r: int):
+    """Quarter-pel refine one PU layout: ONE fraction per PU (summed tile
+    cost maps), square tiles of side min(h, w) per PU.
+
+    mvs (n, P, 2) integer MVs.  Returns (pred (n, 64, 64) uint8,
+    mv_qpel (n, P, 2))."""
+    from ..kernels.interp_xla import refine_qpel_costmap_mxu
 
     n = src_ctus.shape[0]
-    k = 64 // sub
-    srcs = ctu_mod.split_blocks(src_ctus, sub)              # (n*k*k, sub, sub)
-    off = jnp.stack(
-        jnp.meshgrid(jnp.arange(k) * sub, jnp.arange(k) * sub, indexing="ij"),
-        axis=-1,
-    ).reshape(1, k * k, 2)
-    pos_sub = (pos[:, None, :] + off).reshape(n * k * k, 2)
-    start = pos_sub + mvs.reshape(n * k * k, 2) + r
-    win = motion.extract_windows(ref_padded, start, (sub + 8, 128))
-    pred, frac, _ = refine_quarter_pel_fused(srcs, win)
-    pred = ctu_mod.merge_blocks(pred.reshape(n * k * k, sub, sub), 64)
-    mv_qpel = mvs.reshape(n * k * k, 2) * 4 + jnp.stack(
-        [frac // 4, frac % 4], axis=-1
-    )
-    return pred, mv_qpel.reshape(n, k, k, 2)
+    tiles = []                                  # (pu_idx, ty, tx)
+    t = min(rects[0][2], rects[0][3])           # uniform within a layout
+    for pi, (y0, x0, hh, ww) in enumerate(rects):
+        for dy in range(0, hh, t):
+            for dx in range(0, ww, t):
+                tiles.append((pi, y0 + dy, x0 + dx))
+    m = len(tiles)
+    P = len(rects)
+    src_tiles = jnp.stack(
+        [src_ctus[:, ty : ty + t, tx : tx + t] for (_, ty, tx) in tiles], axis=1
+    ).reshape(n * m, t, t)
+    offs = jnp.asarray([(ty, tx) for (_, ty, tx) in tiles], jnp.int32)
+    pu_of = jnp.asarray([pi for (pi, _, _) in tiles], jnp.int32)
+    mv_tiles = jnp.take_along_axis(
+        mvs, pu_of[None, :, None].repeat(n, 0), axis=1
+    )                                            # (n, m, 2)
+    start = (pos[:, None, :] + offs[None] + mv_tiles + r).reshape(n * m, 2)
+    win = motion.extract_windows(ref_padded, start, t + motion.TAPS - 1)
+    preds, costs = refine_qpel_costmap_mxu(src_tiles, win)
+    costs = costs.reshape(n, m, 16)
+    cost_pu = jnp.zeros((n, P, 16), jnp.int32).at[:, pu_of].add(costs)
+    frac_pu = jnp.argmin(cost_pu, axis=-1).astype(jnp.int32)       # (n, P)
+    frac_tiles = jnp.take_along_axis(frac_pu, pu_of[None].repeat(n, 0), axis=1)
+    pt = jnp.take_along_axis(
+        preds.reshape(n, m, 16, t, t),
+        frac_tiles[..., None, None, None], axis=2,
+    )[:, :, 0]                                   # (n, m, t, t)
+    pred = jnp.zeros((n, 64, 64), jnp.uint8)
+    for ti, (_, ty, tx) in enumerate(tiles):
+        pred = pred.at[:, ty : ty + t, tx : tx + t].set(pt[:, ti])
+    mv_qpel = mvs * 4 + jnp.stack([frac_pu // 4, frac_pu % 4], axis=-1)
+    return pred, mv_qpel
 
 
-def select_pu_pred(src_ctus, ref_padded, pos, search, r, lam: int):
-    """Refine all three PU layouts and select per CTU by cost.
+def select_pu_layout(src_ctus, ref_padded, pos, windows, r: int, lam: int,
+                     layouts, grid_fn):
+    """The full PU decision: base search -> integral grids -> per-layout
+    costs/MVs -> per-layout refinement -> per-CTU layout selection.
 
-    Returns (pred (n, 64, 64) uint8, level (n,) int32 0/1/2 for 64/32/16,
-    mv_qpel dict per level)."""
-    c64, c32, c16 = pu_level_costs(search, lam)
-    costs = jnp.stack([c64, c32, c16], axis=-1)
-    level = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    Returns (pred (n, 64, 64) uint8, choice (n,) int32 index into
+    `layouts`, mv_qpel {layout: (n, P, 2)}, best64 (n,) int32 whole-CTU
+    best integer SSD)."""
+    base = base_for(layouts)
+    g = base_grid_search(src_ctus, windows, r, grid_fn, base)
+    gint = grid_integral(g)
+    costs, mvs = layout_decision(gint, layouts, r, lam, base)
+    choice = jnp.argmin(costs, axis=-1).astype(jnp.int32)
 
-    # Extend the padded plane so the aligned (sub+8, 128) slab gathers never
-    # clamp at the bottom/right edge (need 1 extra row; 121-sub extra cols).
-    ref_ext = ctu_mod.pad_frame(ref_padded, 0, 1, 0, 112)
-    p64, q64 = _refine_subblocks(src_ctus, ref_ext, pos,
-                                 search["mv64"][:, None, None, :], r, 64)
-    p32, q32 = _refine_subblocks(src_ctus, ref_ext, pos, search["mv32"], r, 32)
-    p16, q16 = _refine_subblocks(src_ctus, ref_ext, pos, search["mv16"], r, 16)
+    _, best64 = _argmin_grid(rect_grid(gint, (0, 0, 64, 64), base), r)
 
-    sel = level[:, None, None]
-    pred = jnp.where(sel == 0, p64, jnp.where(sel == 1, p32, p16))
-    return pred, level, {"q64": q64, "q32": q32, "q16": q16}
+    preds, mvq = [], {}
+    for name in layouts:
+        p, q = refine_layout(src_ctus, ref_padded, pos, PU_LAYOUTS[name],
+                             mvs[name], r)
+        preds.append(p)
+        mvq[name] = q
+    preds = jnp.stack(preds, axis=1)                     # (n, L, 64, 64)
+    pred = jnp.take_along_axis(
+        preds, choice[:, None, None, None], axis=1
+    )[:, 0]
+    return pred, choice, mvq, best64
+
+
+def multi_level_search(src_ctus: jnp.ndarray, windows: jnp.ndarray, r: int,
+                       grid_fn, base: int = 16):
+    """Square-level search dict (kept for the aggregation tests and any
+    caller wanting the classic 64/32/16 levels): one base-granularity
+    search aggregated exactly to every level.
+
+    Returns mv16 (n, 4, 4, 2), mv32 (n, 2, 2, 2), mv64 (n, 2) + bests."""
+    g = base_grid_search(src_ctus, windows, r, grid_fn, 16)
+    gint = grid_integral(g)
+    out = {}
+    for name, key in (("quarter", "16"), ("NxN", "32"), ("2Nx2N", "64")):
+        rects = PU_LAYOUTS[name]
+        mvl, bl = [], []
+        for rect in rects:
+            mv, best = _argmin_grid(rect_grid(gint, rect, 16), r)
+            mvl.append(mv)
+            bl.append(best)
+        k = int(len(rects) ** 0.5)
+        n = src_ctus.shape[0]
+        if k == 1:
+            out[f"mv{key}"] = mvl[0]
+            out[f"best{key}"] = bl[0]
+        else:
+            out[f"mv{key}"] = jnp.stack(mvl, axis=1).reshape(n, k, k, 2)
+            out[f"best{key}"] = jnp.stack(bl, axis=1).reshape(n, k, k)
+    return out
 
 
 def select_tu_recon(src_ctus, pred, cfg, tu_sizes, intra: bool = False):

@@ -140,11 +140,19 @@ def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: Encod
     pos = motion.ctu_positions(gr, gc, cfg.ctu)
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
 
-    mvs, preds16, wins = [], [], []
-    for ref in (ref0, ref1):
-        rp = ctu_mod.pad_frame(ref.y, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R)
-        mv_int, _ = motion.full_search(src_ctus, rp, pos, r, grid_fn=grid_fn, grid=(gr, gc))
-        _, mv_qpel, win = motion.refine_quarter_pel(src_ctus, rp, pos, mv_int, r)
+    # Both references searched in ONE batched grid call (per-reference
+    # argmin — a B frame needs both MVs), then refined per reference.
+    planes = jax.vmap(
+        lambda p: ctu_mod.pad_frame(
+            p, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
+        )
+    )(jnp.stack([ref0.y, ref1.y]))
+    mv_ints, _ = motion.full_search_multi(
+        src_ctus, planes, pos, r, grid_fn=grid_fn, grid=(gr, gc), joint=False
+    )
+    mvs, preds16 = [], []
+    for i in range(2):
+        _, mv_qpel, win = motion.refine_quarter_pel(src_ctus, planes[i], pos, mv_ints[i], r)
         frac = mv_qpel & 3
         p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
         mvs.append(mv_qpel)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.pred_inter import KERNEL8
 
-__all__ = ["refine_quarter_pel_mxu"]
+__all__ = ["refine_quarter_pel_mxu", "refine_qpel_costmap_mxu"]
 
 _TAPS = 8
 
@@ -38,10 +38,20 @@ def _banded(coef: np.ndarray, in_len: int, out_len: int) -> np.ndarray:
 
 
 @jax.jit
-def refine_quarter_pel_mxu(src_ctus: jnp.ndarray, windows: jnp.ndarray):
-    """src_ctus (n, b, b) uint8, windows (n, b+7, b+7) uint8 at the integer
-    MV.  Returns (pred (n, b, b) uint8, frac_idx (n,) int32 = yf*4+xf,
-    cost (n,) int32), matching motion.refine_quarter_pel's selection."""
+def refine_qpel_costmap_mxu(src_blocks: jnp.ndarray, windows: jnp.ndarray):
+    """All-16-candidate quarter-pel sweep WITHOUT selection: returns
+    (preds (n, 16, b, b) uint8, costs (n, 16) int32 SAD per frac yf*4+xf).
+
+    The building block for rectangular/AMP PU refinement: a PU larger than
+    its square tile sums the tile costmaps, argmins ONE frac for the whole
+    PU, and picks each tile's prediction at that frac
+    (encode/partition.py)."""
+    preds, costs = _qpel_sweep(src_blocks, windows)
+    return jnp.stack(preds, axis=1), jnp.stack(costs, axis=1)
+
+
+def _qpel_sweep(src_ctus, windows):
+    """16-candidate interpolation + SAD lists (see refine_qpel_costmap_mxu)."""
     n, b, _ = src_ctus.shape
     wlen = b + _TAPS - 1
     win_bf = windows.astype(jnp.bfloat16)
@@ -71,6 +81,15 @@ def refine_quarter_pel_mxu(src_ctus: jnp.ndarray, windows: jnp.ndarray):
             preds.append(p)
             costs.append(jnp.sum(jnp.abs(src32 - p.astype(jnp.int32)), axis=(-2, -1)))
 
+    return preds, costs
+
+
+@jax.jit
+def refine_quarter_pel_mxu(src_ctus: jnp.ndarray, windows: jnp.ndarray):
+    """src_ctus (n, b, b) uint8, windows (n, b+7, b+7) uint8 at the integer
+    MV.  Returns (pred (n, b, b) uint8, frac_idx (n,) int32 = yf*4+xf,
+    cost (n,) int32), matching motion.refine_quarter_pel's selection."""
+    preds, costs = _qpel_sweep(src_ctus, windows)
     preds = jnp.stack(preds, axis=1)  # (n, 16, b, b)
     costs = jnp.stack(costs, axis=1)  # (n, 16)
     best = jnp.argmin(costs, axis=-1).astype(jnp.int32)

@@ -36,8 +36,15 @@ __all__ = ["residual_pipeline_ctu", "block_diag_t8"]
 
 def block_diag_t8() -> np.ndarray:
     """kron(I8, T8): 64x64 block-diagonal 8-point HEVC matrix."""
-    t8 = tr.dct_matrix(8)
-    return np.kron(np.eye(8, dtype=np.int32), t8)
+    return block_diag_t(8)
+
+
+def block_diag_t(tu: int, ctu: int = 64, tr_type: int = 0) -> np.ndarray:
+    """kron(I_{ctu/tu}, T_tu): (ctu, ctu) block-diagonal HEVC transform —
+    one constant per TU size, applying T_tu per tu-row/tu-col block.
+    tr_type 1 selects the 4x4 DST-VII (residual_decode.c:914)."""
+    t = tr.DST4 if tr_type else tr.dct_matrix(tu)
+    return np.kron(np.eye(ctu // tu, dtype=np.int32), t)
 
 
 def _mm(bd, x):  # bf16 matmul with f32 accumulation, x int32 exact via split
@@ -61,21 +68,27 @@ def _wrap16(x):
 
 
 def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
-                  dshift):
+                  dshift, tu: int = 8):
     """The fused TU pipeline on one CTU, reusable from other Pallas kernels
     (e.g. the fused inter kernel, kernels/interp_pallas.py).
 
-    src/pred (64, 64) int32 -> (recon (64, 64) int32 in [0, 255],
-    nnz (8, 8) int32 per-TU coded-coefficient counts)."""
+    src/pred (64, 64) int32, bd = block_diag_t(tu), pool the matching
+    kron(I, ones(1, tu)) -> (recon (64, 64) int32 in [0, 255],
+    nnz (64/tu, 64/tu) int32 per-TU coded-coefficient counts).  Forward
+    shifts follow residual_decode.c:855-892 (s1 = log2 - 1, s2 = log2 + 6);
+    the hi/lo-split matmuls stay exact for every size (<= 32 products of
+    8-bit x T-coefficient magnitudes < 2^24)."""
+    log2 = tu.bit_length() - 1
+    s1, s2 = log2 - 1, log2 + 6
     res = src - pred
 
-    # Forward DCT 8x8 per TU, transpose-free composite with the SAME
+    # Forward DCT per TU, transpose-free composite with the SAME
     # rounding points as the reference's two butterfly passes
     # (residual_decode.c:871-876): pass 1 contracts each TU's column index
     # (res @ BD^T, the row transform), pass 2 its row index (BD @ s1), with
     # int16 wrap between passes.
-    s1 = _wrap16((_mm_t(res, bd) + 2) >> 2)
-    coeffs = _wrap16((_mm(bd, s1) + 256) >> 9)
+    s1v = _wrap16((_mm_t(res, bd) + (1 << (s1 - 1))) >> s1)
+    coeffs = _wrap16((_mm(bd, s1v) + (1 << (s2 - 1))) >> s2)
 
     # Quantize (quantize.c:160-186) with static HM-style parameters.
     sign = jnp.where(coeffs < 0, -1, 1)
@@ -116,7 +129,7 @@ def residual_core_stacked(src, pred, bd, bdg, poolg, pool, *, qscale, qshift,
     (the extra K entries are exact zeros).
     """
     res = src - pred
-    s1 = _wrap16((_mm_t(res, bd) + 2) >> 2)
+    s1 = _wrap16((_mm_t(res, bd) + 2) >> 2)          # 8x8 shifts (2, 9)
     coeffs = _wrap16((_mm(bdg, s1) + 256) >> 9)
 
     sign = jnp.where(coeffs < 0, -1, 1)
@@ -133,18 +146,18 @@ def residual_core_stacked(src, pred, bd, bdg, poolg, pool, *, qscale, qshift,
 
 
 def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
-            qshift, qoffset, dscale, dshift):
+            qshift, qoffset, dscale, dshift, tu):
     rec, cnt = residual_core(
         src_ref[0].astype(jnp.int32), pred_ref[0].astype(jnp.int32),
         bd_ref[...], pool_ref[...],
         qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift,
+        dscale=dscale, dshift=dshift, tu=tu,
     )
     nnz_ref[0] = cnt
     out_ref[0] = rec.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift"))
+@functools.partial(jax.jit, static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift", "tu", "tr_type"))
 def residual_pipeline_ctu(
     src_ctus: jnp.ndarray,
     pred_ctus: jnp.ndarray,
@@ -153,36 +166,41 @@ def residual_pipeline_ctu(
     qoffset: int,
     dscale: int,
     dshift: int,
+    tu: int = 8,
+    tr_type: int = 0,
 ):
-    """Fused residual pipeline over (n, 64, 64) CTU stacks with 8x8 TUs.
+    """Fused residual pipeline over (n, 64, 64) CTU stacks, any TU size
+    4/8/16/32 (the block-diagonal kron(I, T_tu) generalisation; tr_type 1
+    selects the 4x4 DST-VII).
 
-    Returns (recon (n, 64, 64) uint8, nnz_tu (n, 8, 8) int32 per-TU coded-
-    coefficient counts in the CTU's TU-grid order), bit-exact with the
-    composed REF ops (verified in tests/test_residual_pallas.py).
+    Returns (recon (n, 64, 64) uint8, nnz_tu (n, 64/tu, 64/tu) int32
+    per-TU coded-coefficient counts in the CTU's TU-grid order), bit-exact
+    with the composed REF ops (tests/test_residual_pallas.py).
     """
-    n = src_ctus.shape[0]
-    bd = jnp.asarray(block_diag_t8()).astype(jnp.bfloat16)
-    pool = jnp.asarray(np.kron(np.eye(8, dtype=np.float32), np.ones((1, 8), np.float32)))
+    n, b, _ = src_ctus.shape
+    k = b // tu
+    bd = jnp.asarray(block_diag_t(tu, b, tr_type)).astype(jnp.bfloat16)
+    pool = jnp.asarray(np.kron(np.eye(k, dtype=np.float32), np.ones((1, tu), np.float32)))
     kernel = functools.partial(
         _kernel, qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift,
+        dscale=dscale, dshift=dshift, tu=tu,
     )
     rec, nnz = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 64, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, 64, 64), jnp.uint8),
-            jax.ShapeDtypeStruct((n, 8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((n, b, b), jnp.uint8),
+            jax.ShapeDtypeStruct((n, k, k), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(src_ctus, pred_ctus, bd, pool)
@@ -191,13 +209,14 @@ def residual_pipeline_ctu(
 
 def _residual_pipeline_pallas(src, pred, qscale, qshift, qoffset, dscale,
                               dshift, tu=8, tr_type=0):
-    """PALLAS tier of ops.residual.residual_pipeline.  Covers the hot
-    geometry only (64x64 CTU, 8x8 DCT TUs); other shapes raise so the
-    registry-level caller (or selftest) sees the gap explicitly instead of
-    silently degrading."""
-    if tu != 8 or src.shape[-1] != 64 or tr_type != 0:
-        raise NotImplementedError("pallas residual pipeline covers 64x64 CTU / 8x8 DCT TUs")
-    rec, nnz_tu = residual_pipeline_ctu(src, pred, qscale, qshift, qoffset, dscale, dshift)
+    """PALLAS tier of ops.residual.residual_pipeline: the fused per-CTU
+    block-diagonal kernel, any TU size (tr_type 1 = 4x4 DST for intra
+    luma).  CTUs smaller than the TU raise (no such geometry)."""
+    if src.shape[-1] % tu or (tr_type and tu != 4):
+        raise NotImplementedError("CTU must be a TU multiple (DST is 4x4-only)")
+    rec, nnz_tu = residual_pipeline_ctu(
+        src, pred, qscale, qshift, qoffset, dscale, dshift, tu=tu,
+        tr_type=tr_type)
     return rec, jnp.sum(nnz_tu), (nnz_tu > 0).reshape(-1)
 
 

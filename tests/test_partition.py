@@ -66,9 +66,64 @@ def test_pu_decision_end_to_end(frames):
     cfg = EncodeConfig(search_range=8, qp=32, pu_decision=True)
     out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
     assert out["recon"].shape == cur.shape
-    lv = np.asarray(out["pu_level"])
-    assert lv.shape == (6,) and set(np.unique(lv)) <= {0, 1, 2}
+    lv = np.asarray(out["pu_layout"])
+    assert lv.shape == (6,) and set(np.unique(lv)) <= set(range(len(cfg.pu_layouts)))
     assert float(out["psnr_db"]) > 25.0
+
+
+def test_pu_decision_with_eighth_and_amp(frames):
+    """The extended ladder: 8x8 PUs (base-8 search) and the rectangular
+    2NxN / Nx2N splits compose end-to-end."""
+    cur, ref = frames
+    cfg = EncodeConfig(
+        search_range=8, qp=32, pu_decision=True,
+        pu_layouts=("2Nx2N", "2NxN", "Nx2N", "NxN", "quarter", "eighth"),
+    )
+    out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
+    assert out["recon"].shape == cur.shape
+    lv = np.asarray(out["pu_layout"])
+    assert set(np.unique(lv)) <= set(range(6))
+    assert float(out["psnr_db"]) > 25.0
+
+
+def test_rect_grid_matches_independent_search(frames):
+    """A rectangular (64x32 top) PU's aggregated grid equals an
+    independent direct search of that rectangle."""
+    cur, ref = frames
+    r = 8
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), r + 3, r + 4, r + 3, r + 4)
+    gr, gc = cur.shape[0] // 64, cur.shape[1] // 64
+    pos = motion.ctu_positions(gr, gc, 64)
+    win = motion.extract_windows(rp, pos + 3, 64 + 2 * r)
+    g = partition.base_grid_search(src, win, r, ssd_grid, 16)
+    gint = partition.grid_integral(g)
+    got = np.asarray(partition.rect_grid(gint, (0, 0, 32, 64), 16))[0]
+
+    sub = np.asarray(src[0, :32, :])                 # top 64x32 (h=32, w=64)
+    wsub = np.asarray(win[0, : 32 + 2 * r, :])
+    num = 2 * r + 1
+    want = np.zeros((num, num), np.int64)
+    for dy in range(num):
+        for dx in range(num):
+            d = sub.astype(np.int64) - wsub[dy : dy + 32, dx : dx + 64]
+            want[dy, dx] = (d * d).sum()
+    assert np.array_equal(got, want)
+
+
+def test_amp_chosen_for_split_motion(rng):
+    """Top and bottom halves moving differently should make the 2NxN
+    layout beat 2Nx2N (and be chosen over NxN by the rate term)."""
+    h, w = 64, 64
+    base = rng.integers(0, 256, (h + 32, w + 32), dtype=np.uint8)
+    ref = base[8 : 8 + h, 8 : 8 + w]
+    cur = np.zeros((h, w), np.uint8)
+    cur[:32] = base[8 + 4 : 8 + 32 + 4, 8 + 2 : 8 + w + 2]     # top: (4, 2)
+    cur[32:] = base[8 + 32 - 5 : 8 + h - 5, 8 - 3 : 8 + w - 3] # bottom: (-5, -3)
+    cfg = EncodeConfig(search_range=8, qp=32, pu_decision=True)
+    out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
+    assert cfg.pu_layouts[int(out["pu_layout"][0])] == "2NxN"
+    assert float(out["psnr_db"]) > 35.0
 
 
 def test_pu_decision_picks_small_pus_for_divergent_motion(rng):
@@ -86,7 +141,7 @@ def test_pu_decision_picks_small_pus_for_divergent_motion(rng):
         ]
     cfg = EncodeConfig(search_range=8, qp=32, pu_decision=True)
     out = encode_inter_frame(jnp.asarray(cur), jnp.asarray(ref), cfg)
-    assert int(out["pu_level"][0]) in (1, 2)   # not the single-PU layout
+    assert cfg.pu_layouts[int(out["pu_layout"][0])] != "2Nx2N"  # split chosen
     assert float(out["psnr_db"]) > 30.0
 
     # The 32-level search must recover the planted per-quadrant shifts.
