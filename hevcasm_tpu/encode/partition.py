@@ -138,8 +138,17 @@ def refine_layout(src_ctus, ref_padded, pos, rects, mvs, r: int):
     cost maps), square tiles of side min(h, w) per PU.
 
     mvs (n, P, 2) integer MVs.  Returns (pred (n, 64, 64) uint8,
-    mv_qpel (n, P, 2))."""
-    from ..kernels.interp_xla import refine_qpel_costmap_mxu
+    mv_qpel (n, P, 2)).
+
+    Costs come from the Pallas cost-map kernel (SAD of all 16 candidates
+    with no prediction materialized —
+    kernels/interp_pallas.refine_qpel_costmap); only the CHOSEN fraction
+    is then interpolated, once per tile, via ops.pred_inter.pred_uni with
+    traced per-tile fractions.  Bit-identical to sweeping predictions and
+    selecting (the MXU cost-map path remains as the differential oracle,
+    tests/test_partition.py)."""
+    from ..kernels.interp_pallas import refine_qpel_costmap
+    from ..ops.pred_inter import pred_uni
 
     n = src_ctus.shape[0]
     tiles = []                                  # (pu_idx, ty, tx)
@@ -160,15 +169,14 @@ def refine_layout(src_ctus, ref_padded, pos, rects, mvs, r: int):
     )                                            # (n, m, 2)
     start = (pos[:, None, :] + offs[None] + mv_tiles + r).reshape(n * m, 2)
     win = motion.extract_windows(ref_padded, start, t + motion.TAPS - 1)
-    preds, costs = refine_qpel_costmap_mxu(src_tiles, win)
-    costs = costs.reshape(n, m, 16)
+    costs = refine_qpel_costmap(src_tiles, win).reshape(n, m, 16)
     cost_pu = jnp.zeros((n, P, 16), jnp.int32).at[:, pu_of].add(costs)
     frac_pu = jnp.argmin(cost_pu, axis=-1).astype(jnp.int32)       # (n, P)
-    frac_tiles = jnp.take_along_axis(frac_pu, pu_of[None].repeat(n, 0), axis=1)
-    pt = jnp.take_along_axis(
-        preds.reshape(n, m, 16, t, t),
-        frac_tiles[..., None, None, None], axis=2,
-    )[:, :, 0]                                   # (n, m, t, t)
+    frac_tiles = jnp.take_along_axis(
+        frac_pu, pu_of[None].repeat(n, 0), axis=1
+    ).reshape(n * m)
+    pt = pred_uni(win, frac_tiles % 4, frac_tiles // 4)            # (n*m, t, t)
+    pt = pt.reshape(n, m, t, t)
     pred = jnp.zeros((n, 64, 64), jnp.uint8)
     for ti, (_, ty, tx) in enumerate(tiles):
         pred = pred.at[:, ty : ty + t, tx : tx + t].set(pt[:, ti])

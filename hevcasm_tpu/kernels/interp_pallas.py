@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.pred_inter import KERNEL8
 
-__all__ = ["refine_quarter_pel_fused", "inter_ctu_fused"]
+__all__ = ["refine_quarter_pel_fused", "refine_qpel_costmap", "inter_ctu_fused"]
 
 TAPS = 8
 _LW = 128
@@ -177,6 +177,73 @@ def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
         interpret=jax.default_backend() != "tpu",
     )(src_ctus, windows, bx, ay)
     return pred, frac[:, 0, 0], cost[:, 0, 0]
+
+
+def _costmap_kernel(src_ref, win_ref, bx_ref, ay_ref, cost_ref, *, b, group):
+    """SAD of all 16 fractional candidates, no prediction output: the
+    _refine_core candidate sweep up to (and including) the (4, 4) SAD map,
+    `group` tiles per grid step (small tiles are per-step-overhead bound).
+    Rectangular-PU refinement sums these maps across a PU's square tiles
+    and argmins ONE fraction for the whole PU (encode/partition.py)."""
+    m4 = 4 * b
+    ay = ay_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    bx = bx_ref[...].astype(jnp.bfloat16)
+    for gi in range(group):
+        src = src_ref[gi].astype(jnp.int32)
+        win = win_ref[gi].astype(jnp.int32)
+        win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
+
+        inter = jax.lax.dot_general(
+            win.astype(jnp.bfloat16), bx,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        inter = _wrap16(inter)
+        hi = (inter >> 8).astype(jnp.int8)
+        lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
+        mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
+        ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
+        acc = 256 * mh + ml + 128 * 64
+        preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+
+        diff = jnp.abs(preds - jnp.tile(src, (4, 4)))
+        rowsum = jnp.sum(diff.reshape(4, b, m4), axis=1)
+        colsum = jnp.sum(rowsum.T.reshape(4, b, 4), axis=1)
+        cost_ref[gi] = colsum.T                            # (4, 4) [yf, xf]
+
+
+@jax.jit
+def refine_qpel_costmap(src_blocks: jnp.ndarray, windows: jnp.ndarray):
+    """All-16-candidate SAD maps WITHOUT selection or prediction output.
+
+    src_blocks (n, b, b) uint8, windows (n, >=b+7, >=b+7) uint8 at the
+    integer MV -> (n, 4, 4) int32 SAD per (yf, xf), bit-exact with
+    kernels/interp_xla.refine_qpel_costmap_mxu's cost output."""
+    n, b, _ = src_blocks.shape
+    assert b + TAPS <= _LW
+    windows = _aligned_windows(windows, b)
+    bx, ay = _fir_matrices(b)
+    bx = jnp.asarray(bx).astype(jnp.bfloat16)
+    ay = jnp.asarray(ay).astype(jnp.int8)
+    G = max(1, min(256 // b, n))
+    steps = -(-n // G)
+    src_blocks = _pad_group(src_blocks, n, steps, G)
+    windows = _pad_group(windows, n, steps, G)
+    kernel = functools.partial(_costmap_kernel, b=b, group=G)
+    cost = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, b + 8, _LW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, 4 * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, _LW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 4, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * G, 4, 4), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(src_blocks, windows, bx, ay)
+    return cost[:n]
 
 
 def _inter_kernel(src_ref, win_ref, bx_ref, ay_ref, bd_ref, pool_ref,

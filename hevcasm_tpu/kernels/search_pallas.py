@@ -335,7 +335,8 @@ def _kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx, wh, ww,
 )
 def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
              stack: str = "packed", band: str = "tree",
-             mm: str = "int8", chunks: int = 8, group: int = 2) -> jnp.ndarray:
+             mm: str = "int8", chunks: int = 8,
+             group: int | None = None) -> jnp.ndarray:
     """Pallas rolled-source full-search SSD grid.
 
     src (n, b, b) uint8, window (n, >=b+num_dy-1, >=b+num_dx-1) uint8
@@ -365,6 +366,10 @@ def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
     ):
         chunks = 1
     if chunks > 1:
+        if group is None:
+            # Small blocks are per-step-overhead bound: scale the group so
+            # a step touches ~128 source rows (b=64 -> 2, b=16 -> 8).
+            group = max(2, 128 // b)
         G = min(group, n)
         steps = -(-n // G)
         pad = steps * G - n

@@ -28,3 +28,17 @@ def test_fused_refine_matches(rng):
     got = np.asarray(got_frac)
     np.testing.assert_array_equal(got // 4, want_frac[:, 0])
     np.testing.assert_array_equal(got % 4, want_frac[:, 1])
+
+
+def test_costmap_pallas_matches_mxu(rng):
+    """Pallas cost-map kernel == the MXU 16-candidate sweep's costs."""
+    from hevcasm_tpu.kernels.interp_pallas import refine_qpel_costmap
+    from hevcasm_tpu.kernels.interp_xla import refine_qpel_costmap_mxu
+
+    for b in (16, 32, 64):
+        n = 5
+        src = rng.integers(0, 256, (n, b, b), dtype=np.uint8)
+        win = rng.integers(0, 256, (n, b + 7, b + 7), dtype=np.uint8)
+        got = np.asarray(refine_qpel_costmap(jnp.asarray(src), jnp.asarray(win)))
+        _, want = refine_qpel_costmap_mxu(jnp.asarray(src), jnp.asarray(win))
+        np.testing.assert_array_equal(got.reshape(n, 16), np.asarray(want)), b

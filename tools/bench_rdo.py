@@ -61,9 +61,12 @@ def main():
     t0 = time.perf_counter(); int(floor_chain(cur, ref))
     floor = (time.perf_counter() - t0) / 20
 
+    all_layouts = ("2Nx2N", "2NxN", "Nx2N", "NxN", "quarter", "eighth")
     variants = {
-        "fixed (fused)": EncodeConfig(search_range=32, qp=32, inter_impl="fused"),
+        "fixed (fused_dma)": EncodeConfig(search_range=32, qp=32, inter_impl="fused_dma"),
         "pu_decision": EncodeConfig(search_range=32, qp=32, pu_decision=True),
+        "pu_amp+8x8": EncodeConfig(search_range=32, qp=32, pu_decision=True,
+                                   pu_layouts=all_layouts),
         "tu_select": EncodeConfig(search_range=32, qp=32, tu_sizes=(4, 8, 16, 32)),
         "pu+tu": EncodeConfig(search_range=32, qp=32, pu_decision=True,
                               tu_sizes=(4, 8, 16, 32)),
@@ -74,17 +77,18 @@ def main():
             p = float(out["psnr_db"])
             t = timed(cfg) - floor
             extra = ""
-            if "pu_level" in out:
-                lv = np.asarray(out["pu_level"])
-                extra = f"  levels 64/32/16: {np.sum(lv==0)}/{np.sum(lv==1)}/{np.sum(lv==2)}"
+            if "pu_layout" in out:
+                lv = np.asarray(out["pu_layout"])
+                extra = "  layouts " + "/".join(cfg.pu_layouts) + ": " + "/".join(
+                    str(int(np.sum(lv == k))) for k in range(len(cfg.pu_layouts)))
             if "tu_choice" in out:
                 ch = np.asarray(out["tu_choice"])
                 extra += "  tu counts: " + "/".join(
                     str(int(np.sum(ch == k))) for k in range(4))
-            print(f"{name:14s} {t*1e3:7.2f} ms/frame  psnr {p:6.2f} dB{extra}",
+            print(f"{name:18s} {t*1e3:7.2f} ms/frame  psnr {p:6.2f} dB{extra}",
                   flush=True)
         except Exception as e:
-            print(f"{name:14s} FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
+            print(f"{name:18s} FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
 
 
 if __name__ == "__main__":
