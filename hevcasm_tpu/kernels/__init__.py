@@ -17,5 +17,6 @@ try:  # Pallas kernels need a TPU-capable backend; degrade gracefully.
     from . import search_pallas  # noqa: F401
     from . import interp_pallas  # noqa: F401
     from . import residual_pallas  # noqa: F401
+    from . import mc_pallas  # noqa: F401
 except Exception:  # pragma: no cover
     sad_pallas = None

@@ -1,0 +1,207 @@
+"""Pallas motion-compensation kernels: standalone uni- and bi-prediction
+at a GIVEN fractional offset per block.
+
+The reference ships width-specialised SSE4 H/V/HV interpolation asm and a
+fused bi-prediction pass (pred_inter_a.asm:174-443, :447-576); the fused
+refine kernel (interp_pallas.py) covers the encoder's 16-candidate sweep,
+and THESE kernels cover the decoder-shaped single-offset call — the PALLAS
+tier of ops.pred_uni / ops.pred_bi.
+
+TPU formulation: per grid step the scalar-prefetched (yfrac, xfrac) pair
+drives the BlockSpec index_map of two stacked constant inputs, so the DMA
+fetches exactly the banded FIR matrices of this block's fractions —
+the data-driven analogue of the reference's [xFrac!=0][yFrac!=0] table
+indexing (pred_inter.h:58-67), with zero in-kernel control flow:
+
+  H:  win (h+8, LW) @ BX[xf] (LW, w)   bf16, exact (8-tap sums < 2^18),
+      wrapped to int16 (pred_inter.c:124).
+  V:  AY[yf] (h, LW) @ inter (LW, w)   two s8 matmuls over the hi /
+      (lo-128) byte split (every HEVC phase sums to 64, so the offset
+      folds into a constant).
+
+Bi-prediction runs both paths in one kernel and fuses the combining mean
+(r0 + r1 + 64) >> 7 (pred_inter.c:490-530) — the Pallas analogue of the
+reference's fused SSE4 bi pass.  8-tap (luma) only; the 4-tap chroma path
+raises NotImplementedError so the registry/selftest sees the gap
+explicitly (chroma MC rides the unified jnp path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import registry
+from ..config import Tier
+from ..ops.pred_inter import KERNEL8
+
+__all__ = ["pred_uni_pallas", "pred_bi_pallas"]
+
+_LW = 128
+_TAPS = 8
+
+
+def _banded(coef, in_len: int, out_len: int) -> np.ndarray:
+    b = np.zeros((in_len, out_len), np.int32)
+    for o in range(out_len):
+        b[o : o + _TAPS, o] = coef
+    return b
+
+
+@functools.lru_cache
+def _mc_matrices(h: int, w: int):
+    """(BX4 (4, LW, w) float32-able, AY4 (4, h, LW) int8) stacked per-frac
+    banded FIR matrices, indexed by the scalar-prefetched fractions."""
+    bx = np.stack([_banded(KERNEL8[xf], _LW, w) for xf in range(4)])
+    ay = np.stack([_banded(KERNEL8[yf], _LW, h).T for yf in range(4)])
+    return bx, ay
+
+
+def _interp_core(win, bx, ay, h):
+    """One H+V pass: win (h+8, LW) int32, bx (LW, w), ay (h, LW).
+    Returns the raw V accumulation (h, w) int32 (unshifted)."""
+    inter = jax.lax.dot_general(
+        win.astype(jnp.bfloat16), bx.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    inter = (inter << 16) >> 16                       # int16 intermediate
+    inter = jnp.pad(inter, ((0, _LW - inter.shape[0]), (0, 0)))
+    hi = (inter >> 8).astype(jnp.int8)
+    lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
+    ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
+    return 256 * mh + ml + 128 * 64                   # sum(coef) == 64
+
+
+def _pad_windows(windows, h):
+    n, wh, ww = windows.shape
+    assert wh >= h + _TAPS - 1 and ww <= _LW
+    return jnp.pad(windows, ((0, 0), (0, max(0, h + 8 - wh)),
+                             (0, _LW - ww)))[:, : h + 8]
+
+
+def _uni_kernel(fr, win_ref, bx_ref, ay_ref, out_ref, *, h):
+    acc = _interp_core(win_ref[0].astype(jnp.int32), bx_ref[0], ay_ref[0], h)
+    out_ref[0] = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def pred_uni_pallas_batched(windows, xfrac, yfrac, h: int, w: int):
+    """windows (n, >=h+7, w+7<=LW) uint8, per-block quarter-pel fractions
+    -> (n, h, w) uint8, bit-exact with ops.pred_uni (taps=8)."""
+    n = windows.shape[0]
+    windows = _pad_windows(windows, h)
+    bxs, ays = _mc_matrices(h, w)
+    fr = jnp.stack(
+        [jnp.broadcast_to(jnp.asarray(yfrac, jnp.int32), (n,)),
+         jnp.broadcast_to(jnp.asarray(xfrac, jnp.int32), (n,))], axis=-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 8, _LW), lambda i, fr: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LW, w), lambda i, fr: (fr[i, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, _LW), lambda i, fr: (fr[i, 0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, fr: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_uni_kernel, h=h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        interpret=jax.default_backend() != "tpu",
+    )(fr, windows, jnp.asarray(bxs, jnp.float32),
+      jnp.asarray(ays).astype(jnp.int8))
+
+
+def pred_uni_pallas(window, xfrac, yfrac, taps: int = 8):
+    """PALLAS tier of ops.pred_uni (8-tap luma; 4-tap raises so the
+    registry sees the gap).  Accepts the REF signature: window
+    (..., h+7, w+7), int or per-block traced fractions."""
+    if taps != _TAPS:
+        raise NotImplementedError("pallas MC covers the 8-tap luma path")
+    squeeze = window.ndim == 2
+    if squeeze:
+        window = window[None]
+    h, w = window.shape[-2] - _TAPS + 1, window.shape[-1] - _TAPS + 1
+    out = pred_uni_pallas_batched(window, xfrac, yfrac, h, w)
+    return out[0] if squeeze else out
+
+
+def _bi_kernel(fr, w0_ref, w1_ref, bx0_ref, ay0_ref, bx1_ref, ay1_ref,
+               out_ref, *, h):
+    a0 = _interp_core(w0_ref[0].astype(jnp.int32), bx0_ref[0], ay0_ref[0], h)
+    a1 = _interp_core(w1_ref[0].astype(jnp.int32), bx1_ref[0], ay1_ref[0], h)
+    # Each uni path stores an int16 (acc >> 6) intermediate
+    # (pred_inter.c:514-523), then the fused combining mean.
+    r0 = ((a0 >> 6) << 16) >> 16
+    r1 = ((a1 >> 6) << 16) >> 16
+    out_ref[0] = jnp.clip((r0 + r1 + 64) >> 7, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def pred_bi_pallas_batched(w0, w1, xf0, yf0, xf1, yf1, h: int, w: int):
+    n = w0.shape[0]
+    w0 = _pad_windows(w0, h)
+    w1 = _pad_windows(w1, h)
+    bxs, ays = _mc_matrices(h, w)
+    br = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.int32), (n,))
+    fr = jnp.stack([br(yf0), br(xf0), br(yf1), br(xf1)], axis=-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 8, _LW), lambda i, fr: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 8, _LW), lambda i, fr: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LW, w), lambda i, fr: (fr[i, 1], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, _LW), lambda i, fr: (fr[i, 0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LW, w), lambda i, fr: (fr[i, 3], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, _LW), lambda i, fr: (fr[i, 2], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, fr: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_bi_kernel, h=h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        interpret=jax.default_backend() != "tpu",
+    )(fr, w0, w1, jnp.asarray(bxs, jnp.float32),
+      jnp.asarray(ays).astype(jnp.int8), jnp.asarray(bxs, jnp.float32),
+      jnp.asarray(ays).astype(jnp.int8))
+
+
+def pred_bi_pallas(window0, window1, xfrac0, yfrac0, xfrac1, yfrac1,
+                   taps: int = 8):
+    """PALLAS tier of ops.pred_bi: fused dual-path interpolation +
+    combining mean (8-tap luma)."""
+    if taps != _TAPS:
+        raise NotImplementedError("pallas MC covers the 8-tap luma path")
+    squeeze = window0.ndim == 2
+    if squeeze:
+        window0, window1 = window0[None], window1[None]
+    h = window0.shape[-2] - _TAPS + 1
+    w = window0.shape[-1] - _TAPS + 1
+    out = pred_bi_pallas_batched(window0, window1, xfrac0, yfrac0,
+                                 xfrac1, yfrac1, h, w)
+    return out[0] if squeeze else out
+
+
+registry.register("pred_uni", Tier.PALLAS, pred_uni_pallas)
+registry.register("pred_bi", Tier.PALLAS, pred_bi_pallas)
