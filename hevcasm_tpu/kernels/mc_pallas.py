@@ -21,9 +21,9 @@ indexing (pred_inter.h:58-67), with zero in-kernel control flow:
 
 Bi-prediction runs both paths in one kernel and fuses the combining mean
 (r0 + r1 + 64) >> 7 (pred_inter.c:490-530) — the Pallas analogue of the
-reference's fused SSE4 bi pass.  8-tap (luma) only; the 4-tap chroma path
-raises NotImplementedError so the registry/selftest sees the gap
-explicitly (chroma MC rides the unified jnp path).
+reference's fused SSE4 bi pass.  Both the 8-tap luma quarter-pel and the
+4-tap chroma eighth-pel filter families are covered (the stacked constant
+simply has 4 or 8 phase planes).
 """
 
 from __future__ import annotations
@@ -38,27 +38,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import registry
 from ..config import Tier
-from ..ops.pred_inter import KERNEL8
+from ..ops.pred_inter import KERNEL4, KERNEL8
 
 __all__ = ["pred_uni_pallas", "pred_bi_pallas"]
 
 _LW = 128
-_TAPS = 8
 
 
 def _banded(coef, in_len: int, out_len: int) -> np.ndarray:
+    taps = len(coef)
     b = np.zeros((in_len, out_len), np.int32)
     for o in range(out_len):
-        b[o : o + _TAPS, o] = coef
+        b[o : o + taps, o] = coef
     return b
 
 
 @functools.lru_cache
-def _mc_matrices(h: int, w: int):
-    """(BX4 (4, LW, w) float32-able, AY4 (4, h, LW) int8) stacked per-frac
-    banded FIR matrices, indexed by the scalar-prefetched fractions."""
-    bx = np.stack([_banded(KERNEL8[xf], _LW, w) for xf in range(4)])
-    ay = np.stack([_banded(KERNEL8[yf], _LW, h).T for yf in range(4)])
+def _mc_matrices(h: int, w: int, taps: int):
+    """(BX (phases, LW, w) float32-able, AY (phases, h, LW) int8) stacked
+    per-frac banded FIR matrices — 4 quarter-pel phases for the 8-tap luma
+    family, 8 eighth-pel phases for the 4-tap chroma family — indexed by
+    the scalar-prefetched fractions."""
+    kern = KERNEL8 if taps == 8 else KERNEL4
+    bx = np.stack([_banded(kern[f], _LW, w) for f in range(len(kern))])
+    ay = np.stack([_banded(kern[f], _LW, h).T for f in range(len(kern))])
     return bx, ay
 
 
@@ -79,11 +82,12 @@ def _interp_core(win, bx, ay, h):
     return 256 * mh + ml + 128 * 64                   # sum(coef) == 64
 
 
-def _pad_windows(windows, h):
+def _pad_windows(windows, h, taps):
     n, wh, ww = windows.shape
-    assert wh >= h + _TAPS - 1 and ww <= _LW
-    return jnp.pad(windows, ((0, 0), (0, max(0, h + 8 - wh)),
-                             (0, _LW - ww)))[:, : h + 8]
+    assert wh >= h + taps - 1 and ww <= _LW
+    rh = h + taps  # aligned row count (h + taps - 1 rounded up by 1)
+    return jnp.pad(windows, ((0, 0), (0, max(0, rh - wh)),
+                             (0, _LW - ww)))[:, :rh]
 
 
 def _uni_kernel(fr, win_ref, bx_ref, ay_ref, out_ref, *, h):
@@ -91,13 +95,14 @@ def _uni_kernel(fr, win_ref, bx_ref, ay_ref, out_ref, *, h):
     out_ref[0] = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def pred_uni_pallas_batched(windows, xfrac, yfrac, h: int, w: int):
-    """windows (n, >=h+7, w+7<=LW) uint8, per-block quarter-pel fractions
-    -> (n, h, w) uint8, bit-exact with ops.pred_uni (taps=8)."""
+@functools.partial(jax.jit, static_argnames=("h", "w", "taps"))
+def pred_uni_pallas_batched(windows, xfrac, yfrac, h: int, w: int,
+                            taps: int = 8):
+    """windows (n, >=h+taps-1, w+taps-1<=LW) uint8, per-block fractions
+    -> (n, h, w) uint8, bit-exact with ops.pred_uni."""
     n = windows.shape[0]
-    windows = _pad_windows(windows, h)
-    bxs, ays = _mc_matrices(h, w)
+    windows = _pad_windows(windows, h, taps)
+    bxs, ays = _mc_matrices(h, w, taps)
     fr = jnp.stack(
         [jnp.broadcast_to(jnp.asarray(yfrac, jnp.int32), (n,)),
          jnp.broadcast_to(jnp.asarray(xfrac, jnp.int32), (n,))], axis=-1)
@@ -105,7 +110,7 @@ def pred_uni_pallas_batched(windows, xfrac, yfrac, h: int, w: int):
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 8, _LW), lambda i, fr: (i, 0, 0),
+            pl.BlockSpec((1, h + taps, _LW), lambda i, fr: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LW, w), lambda i, fr: (fr[i, 1], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -125,16 +130,14 @@ def pred_uni_pallas_batched(windows, xfrac, yfrac, h: int, w: int):
 
 
 def pred_uni_pallas(window, xfrac, yfrac, taps: int = 8):
-    """PALLAS tier of ops.pred_uni (8-tap luma; 4-tap raises so the
-    registry sees the gap).  Accepts the REF signature: window
-    (..., h+7, w+7), int or per-block traced fractions."""
-    if taps != _TAPS:
-        raise NotImplementedError("pallas MC covers the 8-tap luma path")
+    """PALLAS tier of ops.pred_uni (8-tap luma quarter-pel or 4-tap
+    chroma eighth-pel).  Accepts the REF signature: window
+    (..., h+taps-1, w+taps-1), int or per-block traced fractions."""
     squeeze = window.ndim == 2
     if squeeze:
         window = window[None]
-    h, w = window.shape[-2] - _TAPS + 1, window.shape[-1] - _TAPS + 1
-    out = pred_uni_pallas_batched(window, xfrac, yfrac, h, w)
+    h, w = window.shape[-2] - taps + 1, window.shape[-1] - taps + 1
+    out = pred_uni_pallas_batched(window, xfrac, yfrac, h, w, taps)
     return out[0] if squeeze else out
 
 
@@ -149,21 +152,22 @@ def _bi_kernel(fr, w0_ref, w1_ref, bx0_ref, ay0_ref, bx1_ref, ay1_ref,
     out_ref[0] = jnp.clip((r0 + r1 + 64) >> 7, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def pred_bi_pallas_batched(w0, w1, xf0, yf0, xf1, yf1, h: int, w: int):
+@functools.partial(jax.jit, static_argnames=("h", "w", "taps"))
+def pred_bi_pallas_batched(w0, w1, xf0, yf0, xf1, yf1, h: int, w: int,
+                           taps: int = 8):
     n = w0.shape[0]
-    w0 = _pad_windows(w0, h)
-    w1 = _pad_windows(w1, h)
-    bxs, ays = _mc_matrices(h, w)
+    w0 = _pad_windows(w0, h, taps)
+    w1 = _pad_windows(w1, h, taps)
+    bxs, ays = _mc_matrices(h, w, taps)
     br = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.int32), (n,))
     fr = jnp.stack([br(yf0), br(xf0), br(yf1), br(xf1)], axis=-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h + 8, _LW), lambda i, fr: (i, 0, 0),
+            pl.BlockSpec((1, h + taps, _LW), lambda i, fr: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 8, _LW), lambda i, fr: (i, 0, 0),
+            pl.BlockSpec((1, h + taps, _LW), lambda i, fr: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LW, w), lambda i, fr: (fr[i, 1], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -190,16 +194,14 @@ def pred_bi_pallas_batched(w0, w1, xf0, yf0, xf1, yf1, h: int, w: int):
 def pred_bi_pallas(window0, window1, xfrac0, yfrac0, xfrac1, yfrac1,
                    taps: int = 8):
     """PALLAS tier of ops.pred_bi: fused dual-path interpolation +
-    combining mean (8-tap luma)."""
-    if taps != _TAPS:
-        raise NotImplementedError("pallas MC covers the 8-tap luma path")
+    combining mean, both filter families."""
     squeeze = window0.ndim == 2
     if squeeze:
         window0, window1 = window0[None], window1[None]
-    h = window0.shape[-2] - _TAPS + 1
-    w = window0.shape[-1] - _TAPS + 1
+    h = window0.shape[-2] - taps + 1
+    w = window0.shape[-1] - taps + 1
     out = pred_bi_pallas_batched(window0, window1, xfrac0, yfrac0,
-                                 xfrac1, yfrac1, h, w)
+                                 xfrac1, yfrac1, h, w, taps)
     return out[0] if squeeze else out
 
 

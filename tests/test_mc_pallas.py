@@ -28,10 +28,25 @@ def test_pred_uni_pallas_traced_fracs(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_pred_uni_pallas_rejects_chroma_taps(rng):
-    win = rng.integers(0, 256, (19, 19), dtype=np.uint8)
-    with pytest.raises(NotImplementedError):
-        pred_uni_pallas(jnp.asarray(win), 1, 2, taps=4)
+@pytest.mark.parametrize("wh", [(32, 32), (16, 8), (4, 2)])
+def test_pred_uni_pallas_chroma_4tap(rng, wh):
+    """4-tap chroma eighth-pel family, all 8 phases reachable."""
+    w, h = wh
+    win = rng.integers(0, 256, (3, h + 3, w + 3), dtype=np.uint8)
+    for (xf, yf) in [(0, 0), (1, 0), (0, 7), (5, 3)]:
+        got = np.asarray(pred_uni_pallas(jnp.asarray(win), xf, yf, taps=4))
+        want = np.asarray(pred_uni(jnp.asarray(win), xf, yf, taps=4))
+        np.testing.assert_array_equal(got, want, err_msg=f"{wh} ({xf},{yf})")
+
+
+def test_pred_bi_pallas_chroma_4tap(rng):
+    w0 = rng.integers(0, 256, (2, 19, 19), dtype=np.uint8)
+    w1 = rng.integers(0, 256, (2, 19, 19), dtype=np.uint8)
+    got = np.asarray(pred_bi_pallas(jnp.asarray(w0), jnp.asarray(w1),
+                                    1, 6, 3, 2, taps=4))
+    want = np.asarray(pred_bi(jnp.asarray(w0), jnp.asarray(w1),
+                              1, 6, 3, 2, taps=4))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_pred_bi_pallas_matches_ref(rng):
