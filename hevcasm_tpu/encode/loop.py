@@ -82,8 +82,12 @@ class EncodeConfig:
     # fused_group CTUs per grid step (per-step overhead amortized);
     # "fused_dma" additionally pulls the refine windows straight from the
     # reference plane by in-kernel DMA at the MV offsets (no XLA gather,
-    # no window stack in HBM — the fastest path).  All bit-identical;
-    # the fused kernels require a TPU backend and 64x64-CTU / 8x8-TU.
+    # no window stack in HBM); "mega" fuses the ENTIRE inner loop — full
+    # search + argmin + refine + residual — into one kernel whose
+    # position-based slab DMA reads the reference plane exactly once per
+    # CTU (kernels/mega_pallas.py; needs search_range in {8,16,24,32}).
+    # All bit-identical; the fused kernels require a TPU backend and
+    # 64x64-CTU / 8x8-TU.
     inter_impl: str = "stages"
     # CTUs per grid step for the fused_batched / fused_dma kernels.
     fused_group: int = 6
@@ -109,7 +113,8 @@ class EncodeConfig:
             "refine_impl": ("mxu", "ref"),
             "residual_impl": ("mxu", "pallas", "ref"),
             "intra_mode": ("open_loop", "wavefront"),
-            "inter_impl": ("stages", "fused", "fused_batched", "fused_dma"),
+            "inter_impl": ("stages", "fused", "fused_batched", "fused_dma",
+                           "mega"),
         }
         for field, valid in _check.items():
             v = getattr(self, field)
@@ -235,6 +240,28 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
             "pu_layout": choice,
             "sad": best_sad,
             "nnz": nnz,
+            "psnr_db": psnr(cur, recon),
+        }
+    if cfg.inter_impl == "mega" and not cfg.tu_sizes:
+        # One kernel for the whole inner loop: search + refine + residual,
+        # reference plane read exactly once per CTU.
+        from ..kernels.mega_pallas import encode_ctu_mega
+
+        p = r + 8
+        plane = ctu_mod.pad_frame(ref, p, p, p, p)
+        scale, shift, offset = cfg.quant_params(False)
+        dscale, dshift = cfg.dequant_params()
+        rec_ctus, mv_int, frac, best_sad, nnz_tu = encode_ctu_mega(
+            src_ctus, plane, pos, r, scale, shift, offset, dscale, dshift,
+            group=cfg.fused_group,
+        )
+        mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
+        recon = ctu_mod.untile_frame(rec_ctus, h, w)
+        return {
+            "recon": recon,
+            "mvs": mv_qpel,
+            "sad": best_sad,
+            "nnz": jnp.sum(nnz_tu),
             "psnr_db": psnr(cur, recon),
         }
     if cfg.me_strategy == "pyramid":

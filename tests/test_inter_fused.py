@@ -144,3 +144,33 @@ def test_fused_impls_match_stages_end_to_end(frames):
         assert np.array_equal(
             np.asarray(out_s["mvs"]), np.asarray(out_f["mvs"])), impl
         assert int(out_s["nnz"]) == int(out_f["nnz"]), impl
+
+
+def test_mega_matches_stages(frames):
+    """inter_impl='mega' (single-kernel search+refine+residual, one plane
+    read per CTU) == the staged path, end to end."""
+    cur, ref = frames
+    out_s = encode_inter_frame(cur, ref, EncodeConfig(search_range=8))
+    out_m = encode_inter_frame(
+        cur, ref, EncodeConfig(search_range=8, inter_impl="mega"))
+    assert np.array_equal(np.asarray(out_s["recon"]), np.asarray(out_m["recon"]))
+    assert np.array_equal(np.asarray(out_s["mvs"]), np.asarray(out_m["mvs"]))
+    assert np.array_equal(np.asarray(out_s["sad"]), np.asarray(out_m["sad"]))
+    assert int(out_s["nnz"]) == int(out_m["nnz"])
+
+
+def test_mega_extreme_motion(rng):
+    """MVs clamped to the +-R corners (max slab de-skew) stay bit-exact."""
+    import jax.numpy as jnp
+
+    h, w, r = 128, 128, 16
+    base = rng.integers(0, 256, (h + 2 * r, w + 2 * r), dtype=np.uint8)
+    ref = base[:h, :w]
+    cur = base[2 * r :, 2 * r :]  # content shifted by exactly +R in both axes
+    out_s = encode_inter_frame(
+        jnp.asarray(cur), jnp.asarray(ref), EncodeConfig(search_range=r))
+    out_m = encode_inter_frame(
+        jnp.asarray(cur), jnp.asarray(ref),
+        EncodeConfig(search_range=r, inter_impl="mega"))
+    assert np.array_equal(np.asarray(out_s["recon"]), np.asarray(out_m["recon"]))
+    assert np.array_equal(np.asarray(out_s["mvs"]), np.asarray(out_m["mvs"]))
