@@ -168,8 +168,15 @@ def refine_layout(src_ctus, ref_padded, pos, rects, mvs, r: int):
         mvs, pu_of[None, :, None].repeat(n, 0), axis=1
     )                                            # (n, m, 2)
     start = (pos[:, None, :] + offs[None] + mv_tiles + r).reshape(n * m, 2)
-    win = motion.extract_windows(ref_padded, start, t + motion.TAPS - 1)
-    costs = refine_qpel_costmap(src_tiles, win).reshape(n, m, 16)
+    # Gather ALIGNED (t+8, 128) slabs (full-tile DMAs instead of masked
+    # (t+7, t+7) edges); the pixels beyond (t+7, t+7) are inert for the
+    # cost-map kernel, and pred_uni below slices the exact window out.
+    ref_ext = jnp.pad(
+        ref_padded, ((0, 1), (0, 128 - (t + motion.TAPS - 1)))
+    )
+    slab = motion.extract_windows(ref_ext, start, (t + 8, 128))
+    win = slab[:, : t + motion.TAPS - 1, : t + motion.TAPS - 1]
+    costs = refine_qpel_costmap(src_tiles, slab).reshape(n, m, 16)
     cost_pu = jnp.zeros((n, P, 16), jnp.int32).at[:, pu_of].add(costs)
     frac_pu = jnp.argmin(cost_pu, axis=-1).astype(jnp.int32)       # (n, P)
     frac_tiles = jnp.take_along_axis(
