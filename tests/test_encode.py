@@ -155,3 +155,21 @@ def test_encode_lossless_when_static(rng):
     cfg = EncodeConfig(search_range=4, qp=4)
     out = encode_inter_frame(jnp.asarray(f), jnp.asarray(f), cfg)
     np.testing.assert_array_equal(np.asarray(out["recon"]), f)
+
+
+def test_encode_gop_fast_path_matches_stages(rng):
+    """The full GOP (wavefront intra seed + P chain) composed with the
+    fast-path config (fused_dma, conforming intra) equals the staged
+    config bit-exactly — the production configuration is the verified one."""
+    import dataclasses
+
+    h, w = 128, 192
+    base = rng.integers(0, 256, (3, h + 16, w + 16), dtype=np.uint8)
+    frames = np.stack([base[t, t : t + h, 2 * t : 2 * t + w] for t in range(3)])
+    cfg_s = EncodeConfig(search_range=8, qp=32, intra_mode="wavefront")
+    cfg_f = dataclasses.replace(cfg_s, inter_impl="fused_dma")
+    out_s = encode_gop(jnp.asarray(frames), cfg_s)
+    out_f = encode_gop(jnp.asarray(frames), cfg_f)
+    np.testing.assert_array_equal(
+        np.asarray(out_s["recon"]), np.asarray(out_f["recon"])
+    )
