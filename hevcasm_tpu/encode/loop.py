@@ -52,6 +52,14 @@ class EncodeConfig:
     # "full" = exhaustive +-R grid; "pyramid" = 2-level hierarchical search
     # covering the same window at ~1/60 the arithmetic (motion.pyramid_search).
     me_strategy: str = "full"
+    # Integer-search implementation: "grid" scores a (2R+1)^2 grid per CTU
+    # (ssd_grid/sad_grid kernel + XLA argmin over the materialized grids);
+    # "dma" runs search_pallas.search_mv_dma — window fetch (in-kernel slab
+    # DMA at the CTU positions), SSD grid, and argmin in ONE kernel, so
+    # neither the window stack nor the score grids ever touch HBM.  "auto"
+    # picks "dma" on TPU when the geometry fits (64x64 CTU, +-32, ssd,
+    # full), else "grid".  All bit-identical.
+    search_impl: str = "auto"
     # Use the fused Pallas quarter-pel refinement kernel
     # (kernels/interp_pallas.py); bit-exact with the jnp path.
     fused_refine: bool = False
@@ -110,6 +118,7 @@ class EncodeConfig:
         _check = {
             "me_metric": ("sad", "ssd"),
             "me_strategy": ("full", "pyramid"),
+            "search_impl": ("auto", "grid", "mv", "dma"),
             "refine_impl": ("mxu", "ref"),
             "residual_impl": ("mxu", "pallas", "ref"),
             "intra_mode": ("open_loop", "wavefront"),
@@ -120,6 +129,32 @@ class EncodeConfig:
             v = getattr(self, field)
             if v not in valid:
                 raise ValueError(f"{field}={v!r} (valid: {', '.join(valid)})")
+        if self.search_impl in ("mv", "dma") and not (
+            self.me_metric == "ssd" and self.me_strategy == "full"
+            and self.ctu == 64 and self.ctu + 2 * self.search_range == 128
+        ):
+            raise ValueError(
+                f"search_impl={self.search_impl!r} covers me_metric='ssd', "
+                "me_strategy='full', ctu=64, search_range=32 "
+                "(use 'auto' or 'grid')"
+            )
+        if self.inter_impl == "mega" and (
+            self.me_metric != "ssd" or self.me_strategy != "full"
+        ):
+            # The mega kernel always runs the exhaustive in-kernel SSD
+            # search; silently ignoring the metric/strategy config would
+            # produce different MVs than 'stages' (ADVICE r3).
+            raise ValueError(
+                "inter_impl='mega' always searches exhaustive SSD; it cannot "
+                "honor me_metric='sad' or me_strategy='pyramid'"
+            )
+        if self.inter_impl == "mega" and (self.tu_sizes or self.pu_decision):
+            # These decisions need the staged composition; falling through
+            # silently would not run the mega kernel at all (ADVICE r3).
+            raise ValueError(
+                "inter_impl='mega' does not compose with tu_sizes/"
+                "pu_decision (use 'stages' or a fused_* mode)"
+            )
         from .partition import PU_LAYOUTS
 
         for name in self.pu_layouts:
@@ -147,6 +182,45 @@ class EncodeConfig:
         scale = DEQUANT_SCALES[qp % 6] << (qp // 6)
         shift = self.tu_log2 - 1
         return scale, shift
+
+
+def _search_impl_resolved(cfg: EncodeConfig) -> str:
+    """Resolve search_impl='auto' -> 'grid'.
+
+    Measured on v5e (r4, interleaved A/B, 1080p fused_dma frame): grid
+    1.12 ms vs mv 1.16 ms vs dma 1.21 ms end-to-end — the XLA-overlapped
+    extract + argmin around the chunked kernel beats both in-kernel argmin
+    and in-kernel slab DMA (docs/DESIGN.md section 6), so 'auto' stays on
+    'grid'; 'mv'/'dma' remain as tested alternatives."""
+    if cfg.search_impl != "auto":
+        return cfg.search_impl
+    return "grid"
+
+
+def _integer_search(src_ctus, ref, ref_padded, pos, cfg: EncodeConfig, grid):
+    """The integer-pel ME stage behind every inter path: full/pyramid/DMA
+    per cfg.  Returns (mv_int (n, 2), best (n,)) — all impls bit-identical
+    for the same metric/strategy."""
+    r = cfg.search_range
+    grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    if cfg.me_strategy == "pyramid":
+        return motion.pyramid_search(
+            src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=grid
+        )
+    impl = _search_impl_resolved(cfg)
+    if impl == "dma":
+        from ..kernels.search_pallas import search_mv_dma
+
+        return search_mv_dma(src_ctus, ref_padded, pos, r)
+    if impl == "mv":
+        from ..kernels.search_pallas import search_mv
+
+        b = src_ctus.shape[-1]
+        win = motion.extract_aligned_windows(
+            ref_padded, (motion.PAD_L, motion.PAD_L), grid, b, b + 2 * r
+        )
+        return search_mv(src_ctus, win, 2 * r + 1, group=3)
+    return motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=grid)
 
 
 def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool, luma: bool = True):
@@ -221,12 +295,11 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
         else:
             win = motion.extract_windows(ref_padded, pos + motion.PAD_L, size)
         lam = partition.mv_lambda(cfg.qp)
-        pred, choice, mvq, best_sad = partition.select_pu_layout(
+        pred, choice, mv_tiles, best_sad = partition.select_pu_layout_pruned(
             src_ctus, ref_padded, pos, win, r, lam, cfg.pu_layouts, grid_fn
         )
-        # Frame-level "mvs" report: the whole-CTU (2Nx2N) MV when that
-        # layout is a candidate, else the first layout's first PU.
-        mv_qpel = mvq.get("2Nx2N", next(iter(mvq.values())))[:, 0, :]
+        # Frame-level "mvs" report: the chosen layout's top-left tile MV.
+        mv_qpel = mv_tiles[:, 0, 0, :]
         if cfg.tu_sizes:
             rec_ctus, tu_choice, nnz = partition.select_tu_recon(
                 src_ctus, pred, cfg, cfg.tu_sizes
@@ -264,10 +337,7 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
             "nnz": jnp.sum(nnz_tu),
             "psnr_db": psnr(cur, recon),
         }
-    if cfg.me_strategy == "pyramid":
-        mv_int, best_sad = motion.pyramid_search(src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
-    else:
-        mv_int, best_sad = motion.full_search(src_ctus, ref_padded, pos, r, grid_fn=grid_fn, grid=(gr, gc))
+    mv_int, best_sad = _integer_search(src_ctus, ref, ref_padded, pos, cfg, (gr, gc))
     if cfg.tu_sizes:
         # TU-size selection composes with the staged refine below.
         from . import partition as _partition
@@ -309,7 +379,7 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
             # The kernel self-pads the plane for its (8, 128)-aligned slab
             # reads; every used (B+7, B+7) window is in-plane by the
             # ref_padded construction above.
-            rec_ctus, frac, _, nnz_tu = inter_ctu_fused_dma(
+            rec_ctus, frac, _, nnz_tu, _ = inter_ctu_fused_dma(
                 src_ctus, ref_padded, start, scale, shift, offset,
                 dscale, dshift, group=cfg.fused_group,
             )
@@ -319,14 +389,14 @@ def encode_inter_frame(cur: jnp.ndarray, ref: jnp.ndarray, cfg: EncodeConfig = E
             if cfg.inter_impl == "fused_batched":
                 from ..kernels.interp_pallas import inter_ctu_fused_batched
 
-                rec_ctus, frac, _, nnz_tu = inter_ctu_fused_batched(
+                rec_ctus, frac, _, nnz_tu, _ = inter_ctu_fused_batched(
                     src_ctus, win, scale, shift, offset, dscale, dshift,
                     group=cfg.fused_group,
                 )
             else:
                 from ..kernels.interp_pallas import inter_ctu_fused
 
-                rec_ctus, frac, _, nnz_tu = inter_ctu_fused(
+                rec_ctus, frac, _, nnz_tu, _ = inter_ctu_fused(
                     src_ctus, win, scale, shift, offset, dscale, dshift
                 )
         mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)
@@ -371,6 +441,13 @@ def encode_inter_frame_multiref(
     fused inter_impl modes work on the k planes stacked into one flat
     plane (offset rows select the reference).
     """
+    if cfg.me_strategy == "pyramid":
+        # The single-pass k-way search is exhaustive; silently ignoring the
+        # strategy would change MVs vs the configured intent (ADVICE r3).
+        raise ValueError(
+            "encode_inter_frame_multiref searches exhaustively; "
+            "me_strategy='pyramid' is not honored here (use 'full')"
+        )
     h, w = cur.shape
     k = refs.shape[0]
     gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
@@ -400,7 +477,7 @@ def encode_inter_frame_multiref(
         if cfg.inter_impl == "fused_dma":
             from ..kernels.interp_pallas import inter_ctu_fused_dma
 
-            rec_ctus, frac, _, nnz_tu = inter_ctu_fused_dma(
+            rec_ctus, frac, _, nnz_tu, _ = inter_ctu_fused_dma(
                 src_ctus, flat, offs, scale, shift, offset, dscale, dshift,
                 group=cfg.fused_group,
             )
@@ -414,14 +491,14 @@ def encode_inter_frame_multiref(
             if cfg.inter_impl == "fused_batched":
                 from ..kernels.interp_pallas import inter_ctu_fused_batched
 
-                rec_ctus, frac, _, nnz_tu = inter_ctu_fused_batched(
+                rec_ctus, frac, _, nnz_tu, _ = inter_ctu_fused_batched(
                     src_ctus, win, scale, shift, offset, dscale, dshift,
                     group=cfg.fused_group,
                 )
             else:
                 from ..kernels.interp_pallas import inter_ctu_fused
 
-                rec_ctus, frac, _, nnz_tu = inter_ctu_fused(
+                rec_ctus, frac, _, nnz_tu, _ = inter_ctu_fused(
                     src_ctus, win, scale, shift, offset, dscale, dshift
                 )
         mv_qpel = mv_int * 4 + jnp.stack([frac // 4, frac % 4], axis=-1)

@@ -191,6 +191,99 @@ def refine_layout(src_ctus, ref_padded, pos, rects, mvs, r: int):
     return pred, mv_qpel
 
 
+def _tile_pu_table(layouts, base: int) -> np.ndarray:
+    """(L, k*k) int32: PU index owning each (base x base) tile, per layout.
+
+    Every PU rect of every layout is a union of base tiles (base is the
+    minimum PU side over the layout set and all PU dims are multiples of
+    it), so ONE base tiling serves every layout's refinement."""
+    import numpy as np
+
+    k = 64 // base
+    table = np.zeros((len(layouts), k * k), np.int32)
+    for li, name in enumerate(layouts):
+        for pi, (y0, x0, hh, ww) in enumerate(PU_LAYOUTS[name]):
+            assert hh % base == 0 and ww % base == 0
+            for ty in range(y0 // base, (y0 + hh) // base):
+                for tx in range(x0 // base, (x0 + ww) // base):
+                    table[li, ty * k + tx] = pi
+    return table
+
+
+def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
+                            lam: int, layouts, grid_fn):
+    """PU decision with refinement PRUNED to each CTU's winning layout.
+
+    The r3 path refined ALL layouts for ALL CTUs and then discarded all
+    but the argmin (select_pu_layout) — ~6 full refine passes where ~1.2
+    would do (VERDICT r3 #2).  Here the integer-SSD layout decision runs
+    first (it needs only the base-granularity grids), and the quarter-pel
+    refinement runs ONCE on a single base-granularity tiling shared by
+    every layout: each base tile looks up its owning PU in the chosen
+    layout (_tile_pu_table gather), the per-tile 16-candidate cost maps
+    (ONE batched Pallas costmap call) scatter-add into per-PU maps, one
+    fraction is argmin'd per PU, and each tile interpolates once at its
+    PU's fraction.  SAD additivity over tiles and the FIR's translation
+    invariance make this bit-identical to the unpruned path's selected
+    output (tests/test_partition.py).
+
+    Returns (pred (n, 64, 64) uint8, choice (n,) int32, mv_qpel_tiles
+    (n, k, k, 2) int32 per-base-tile quarter-pel MVs, best64 (n,)).
+    """
+    from ..kernels.interp_pallas import refine_qpel_costmap
+    from ..ops.pred_inter import pred_uni
+
+    n = src_ctus.shape[0]
+    base = base_for(layouts)
+    k = 64 // base
+    m = k * k
+    pmax = max(len(PU_LAYOUTS[name]) for name in layouts)
+
+    g = base_grid_search(src_ctus, windows, r, grid_fn, base)
+    gint = grid_integral(g)
+    costs, mvs = layout_decision(gint, layouts, r, lam, base)
+    choice = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    _, best64 = _argmin_grid(rect_grid(gint, (0, 0, 64, 64), base), r)
+
+    # Per-tile PU index and integer MV of the CHOSEN layout only.
+    table = jnp.asarray(_tile_pu_table(layouts, base))       # (L, m)
+    pu_of = jnp.take(table, choice, axis=0)                  # (n, m)
+    mv_tiles_l = jnp.stack(
+        [jnp.take_along_axis(
+            mvs[name], table[li][None, :, None].repeat(n, 0), axis=1)
+         for li, name in enumerate(layouts)], axis=1)        # (n, L, m, 2)
+    mv_tiles = jnp.take_along_axis(
+        mv_tiles_l, choice[:, None, None, None], axis=1)[:, 0]  # (n, m, 2)
+
+    # ONE batched cost-map call over every base tile of the frame.
+    offs = jnp.asarray(
+        [(ty * base, tx * base) for ty in range(k) for tx in range(k)],
+        jnp.int32)                                           # (m, 2)
+    src_tiles = ctu_mod.split_blocks(src_ctus, base)         # (n*m, base, base)
+    start = (pos[:, None, :] + offs[None] + mv_tiles + r).reshape(n * m, 2)
+    ref_ext = jnp.pad(
+        ref_padded, ((0, 1), (0, 128 - (base + motion.TAPS - 1)))
+    )
+    slab = motion.extract_windows(ref_ext, start, (base + 8, 128))
+    cost_t = refine_qpel_costmap(src_tiles, slab).reshape(n, m, 16)
+
+    # Scatter-add tile maps into per-PU maps; ONE fraction per PU.
+    cost_pu = jnp.zeros((n, pmax, 16), jnp.int32).at[
+        jnp.arange(n)[:, None], pu_of
+    ].add(cost_t)
+    frac_pu = jnp.argmin(cost_pu, axis=-1).astype(jnp.int32)  # (n, pmax)
+    frac_t = jnp.take_along_axis(frac_pu, pu_of, axis=1).reshape(n * m)
+
+    # Interpolate each tile ONCE at its PU's fraction, assemble the CTU.
+    win = slab[:, : base + motion.TAPS - 1, : base + motion.TAPS - 1]
+    pt = pred_uni(win, frac_t % 4, frac_t // 4)              # (n*m, base, base)
+    pred = ctu_mod.merge_blocks(pt.reshape(n * m, base, base), 64)
+    frac2 = frac_t.reshape(n, m)
+    mv_qpel = mv_tiles * 4 + jnp.stack(
+        [frac2 // 4, frac2 % 4], axis=-1)                    # (n, m, 2)
+    return pred, choice, mv_qpel.reshape(n, k, k, 2), best64
+
+
 def select_pu_layout(src_ctus, ref_padded, pos, windows, r: int, lam: int,
                      layouts, grid_fn):
     """The full PU decision: base search -> integral grids -> per-layout

@@ -246,30 +246,43 @@ def refine_qpel_costmap(src_blocks: jnp.ndarray, windows: jnp.ndarray):
     return cost[:n]
 
 
+def _qp_vec(qscale, qshift, qoffset, dscale, dshift) -> jnp.ndarray:
+    """Pack the five quantizer parameters into one int32 vector.  The
+    fused kernels read them from SMEM, so ONE compile serves every qp —
+    the TPU shape of the reference's runtime scale/shift arguments
+    (quantize.h:57-76); rate control (encode/rate.py) feeds traced values
+    from its qp controller with no recompilation (VERDICT r3 #3)."""
+    return jnp.stack([
+        jnp.asarray(v, jnp.int32)
+        for v in (qscale, qshift, qoffset, dscale, dshift)
+    ])
+
+
+def _qp_args(qp_ref):
+    return dict(qscale=qp_ref[0], qshift=qp_ref[1], qoffset=qp_ref[2],
+                dscale=qp_ref[3], dshift=qp_ref[4])
+
+
 def _inter_kernel(src_ref, win_ref, bx_ref, ay_ref, bd_ref, pool_ref,
-                  rec_ref, frac_ref, cost_ref, nnz_ref, *, b, qscale, qshift,
-                  qoffset, dscale, dshift):
+                  qp_ref, rec_ref, frac_ref, cost_ref, nnz_ref, bits_ref,
+                  *, b):
     from .residual_pallas import residual_core
 
     src = src_ref[0].astype(jnp.int32)                     # (b, b)
     win = win_ref[0].astype(jnp.int32)                     # (b+8, LW)
     win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
     pred, idx, cost = _refine_core(src, win, bx_ref, ay_ref, b=b)
-    rec, cnt = residual_core(
-        src, pred, bd_ref[...], pool_ref[...],
-        qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift,
+    rec, cnt, bits = residual_core(
+        src, pred, bd_ref[...], pool_ref[...], **_qp_args(qp_ref),
     )
     rec_ref[0] = rec.astype(jnp.uint8)
     frac_ref[...] = idx.reshape(1, 1, 1)
     cost_ref[...] = cost.reshape(1, 1, 1)
     nnz_ref[0] = cnt
+    bits_ref[0] = bits
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift"),
-)
+@jax.jit
 def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
                     dshift):
     """Fused quarter-pel refine + full residual pipeline, one VMEM
@@ -277,9 +290,12 @@ def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
     touches HBM before being transformed/quantized/reconstructed.
 
     src_ctus (n, 64, 64) uint8, windows (n, >=71, >=71) uint8 at the
-    integer MV.  Returns (recon (n, 64, 64) uint8, frac (n,) int32,
-    cost (n,) int32, nnz_tu (n, 8, 8) int32); bit-exact with
-    refine_quarter_pel_fused composed with residual_pipeline_ctu."""
+    integer MV.  The quantizer parameters may be Python ints OR traced
+    int32 scalars (e.g. rate control's per-frame qp derivation) — they
+    ride to the kernel in SMEM, so one compile serves every qp.  Returns
+    (recon (n, 64, 64) uint8, frac (n,) int32, cost (n,) int32,
+    nnz_tu (n, 8, 8) int32); bit-exact with refine_quarter_pel_fused
+    composed with residual_pipeline_ctu."""
     from .residual_pallas import block_diag_t8
 
     n, b, _ = src_ctus.shape
@@ -290,11 +306,9 @@ def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
     ay = jnp.asarray(ay).astype(jnp.int8)
     bd = jnp.asarray(block_diag_t8()).astype(jnp.bfloat16)
     pool = jnp.asarray(np.kron(np.eye(8, dtype=np.float32), np.ones((1, 8), np.float32)))
-    kernel = functools.partial(
-        _inter_kernel, b=b, qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift,
-    )
-    rec, frac, cost, nnz = pl.pallas_call(
+    qp = _qp_vec(qscale, qshift, qoffset, dscale, dshift)
+    kernel = functools.partial(_inter_kernel, b=b)
+    rec, frac, cost, nnz, bits = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
@@ -304,11 +318,13 @@ def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
             pl.BlockSpec((4 * b, _LW), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -316,14 +332,16 @@ def inter_ctu_fused(src_ctus, windows, qscale, qshift, qoffset, dscale,
             jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((n, 8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((n, 8, 8), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(src_ctus, windows, bx, ay, bd, pool)
-    return rec, frac[:, 0, 0], cost[:, 0, 0], nnz
+    )(src_ctus, windows, bx, ay, bd, pool, qp)
+    return rec, frac[:, 0, 0], cost[:, 0, 0], nnz, bits
 
 
 def _group_body(src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref,
-                pool_ref, *, G, b, qscale, qshift, qoffset, dscale, dshift):
+                pool_ref, *, G, b, qscale, qshift, qoffset, dscale, dshift,
+                refine_only=False):
     """Refine + residual for a group of G CTUs resident in VMEM.
 
     src3 (G, b, b) int32; win3 (G, b+8, LW) int32 (only the first b+7 rows /
@@ -382,13 +400,15 @@ def _group_body(src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref,
         costs.append(best_cost)
 
     pred_stack = jnp.concatenate(preds_list, axis=0)       # (G*b, b)
+    if refine_only:
+        return pred_stack, fracs, costs, None, None
     src_stack = src3.reshape(G * b, b)
-    rec_stack, cnt = residual_core_stacked(
+    rec_stack, cnt, bits = residual_core_stacked(
         src_stack, pred_stack, bd_ref[...], bdg_ref[...], poolg_ref[...],
         pool_ref[...], qscale=qscale, qshift=qshift, qoffset=qoffset,
         dscale=dscale, dshift=dshift,
     )
-    return rec_stack, fracs, costs, cnt
+    return rec_stack, fracs, costs, cnt, bits
 
 
 def _group_constants(G):
@@ -407,29 +427,28 @@ def _group_constants(G):
     )
 
 
-def _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, rec_stack,
-                         fracs, costs, cnt, *, G, b):
+def _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, bits_ref,
+                         rec_stack, fracs, costs, cnt, bits, *, G, b):
     rec_ref[...] = rec_stack.reshape(G, b, b).astype(jnp.uint8)
     frac_ref[...] = jnp.concatenate(
         [f.reshape(1, 1, 1) for f in fracs], axis=0)
     cost_ref[...] = jnp.concatenate(
         [c.reshape(1, 1, 1) for c in costs], axis=0)
     nnz_ref[...] = cnt.reshape(G, 8, 8)
+    bits_ref[...] = bits.reshape(G, 8, 8)
 
 
 def _inter_kernel_group(src_ref, win_ref, bx_ref, ay_ref, bd_ref, bdg_ref,
-                        poolg_ref, pool_ref, rec_ref, frac_ref, cost_ref,
-                        nnz_ref, *, G, b, qscale, qshift, qoffset, dscale,
-                        dshift):
+                        poolg_ref, pool_ref, qp_ref, rec_ref, frac_ref,
+                        cost_ref, nnz_ref, bits_ref, *, G, b):
     src3 = src_ref[...].astype(jnp.int32)
     win3 = win_ref[...].astype(jnp.int32)
-    rec_stack, fracs, costs, cnt = _group_body(
+    rec_stack, fracs, costs, cnt, bits = _group_body(
         src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref, pool_ref,
-        G=G, b=b, qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift,
+        G=G, b=b, **_qp_args(qp_ref),
     )
-    _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, rec_stack,
-                         fracs, costs, cnt, G=G, b=b)
+    _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, bits_ref,
+                         rec_stack, fracs, costs, cnt, bits, G=G, b=b)
 
 
 def _pad_group(x, n, steps, G):
@@ -437,11 +456,7 @@ def _pad_group(x, n, steps, G):
     return x if pad == 0 else jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift",
-                     "group"),
-)
+@functools.partial(jax.jit, static_argnames=("group",))
 def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
                             dscale, dshift, group: int = 6):
     """Group-batched fused refine + residual: G CTUs per Pallas grid step.
@@ -451,7 +466,7 @@ def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
     test_fused_batched_matches_fused) — but with per-step overheads —
     kernel entry, small-matmul pipeline drain, VPU/MXU handoffs — amortized
     over `group` CTUs, and the H FIR / residual matmuls enlarged to full
-    MXU shapes.
+    MXU shapes.  Quantizer params may be traced (see inter_ctu_fused).
     """
     n, b, _ = src_ctus.shape
     assert b == 64, "fused inter kernel covers the 64x64-CTU/8x8-TU geometry"
@@ -461,11 +476,9 @@ def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
     src_ctus = _pad_group(src_ctus, n, steps, G)
     windows = _pad_group(windows, n, steps, G)
     consts = _group_constants(G)
-    kernel = functools.partial(
-        _inter_kernel_group, G=G, b=b, qscale=qscale, qshift=qshift,
-        qoffset=qoffset, dscale=dscale, dshift=dshift,
-    )
-    rec, frac, cost, nnz = pl.pallas_call(
+    qp = _qp_vec(qscale, qshift, qoffset, dscale, dshift)
+    kernel = functools.partial(_inter_kernel_group, G=G, b=b)
+    rec, frac, cost, nnz, bits = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[
@@ -477,11 +490,13 @@ def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
             pl.BlockSpec((G * b, G * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G * 8, G * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((G, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -489,10 +504,11 @@ def inter_ctu_fused_batched(src_ctus, windows, qscale, qshift, qoffset,
             jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(src_ctus, windows, *consts)
-    return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n]
+    )(src_ctus, windows, *consts, qp)
+    return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n], bits[:n]
 
 
 _SLAB_R, _SLAB_C = 80, 256  # aligned DMA slab: (b+8 rows, 128 cols) rounded
@@ -500,10 +516,10 @@ _SLAB_R, _SLAB_C = 80, 256  # aligned DMA slab: (b+8 rows, 128 cols) rounded
                             # intra-tile offset (7 rows, 127 cols)
 
 
-def _inter_kernel_dma(off_ref, src_ref, plane_ref, bx_ref, ay_ref, bd_ref,
-                      bdg_ref, poolg_ref, pool_ref, rec_ref, frac_ref,
-                      cost_ref, nnz_ref, win_scratch, sems, *, G, b, qscale,
-                      qshift, qoffset, dscale, dshift):
+def _inter_kernel_dma(off_ref, qp_ref, src_ref, plane_ref, bx_ref, ay_ref,
+                      bd_ref, bdg_ref, poolg_ref, pool_ref, rec_ref,
+                      frac_ref, cost_ref, nnz_ref, bits_ref, win_scratch,
+                      sems, *, G, b):
     """DMA variant: the refine windows are pulled straight from the padded
     reference plane at the motion-vector offsets (scalar-prefetched),
     double-buffered across grid steps — no XLA gather, no HBM round trip of
@@ -552,20 +568,15 @@ def _inter_kernel_dma(off_ref, src_ref, plane_ref, bx_ref, ay_ref, bd_ref,
     win3 = jnp.concatenate(rows, axis=0).reshape(G, rh, _LW)
 
     src3 = src_ref[...].astype(jnp.int32)
-    rec_stack, fracs, costs, cnt = _group_body(
+    rec_stack, fracs, costs, cnt, bits = _group_body(
         src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref, pool_ref,
-        G=G, b=b, qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift,
+        G=G, b=b, **_qp_args(qp_ref),
     )
-    _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, rec_stack,
-                         fracs, costs, cnt, G=G, b=b)
+    _write_group_outputs(rec_ref, frac_ref, cost_ref, nnz_ref, bits_ref,
+                         rec_stack, fracs, costs, cnt, bits, G=G, b=b)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift",
-                     "group"),
-)
+@functools.partial(jax.jit, static_argnames=("group",))
 def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
                         qoffset, dscale, dshift, group: int = 6):
     """Fused refine + residual with in-kernel window DMA.
@@ -600,38 +611,38 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
     y, x = offsets[:, 0], offsets[:, 1]
     offsets = jnp.stack([y // 8, x // _LW, y % 8, x % _LW], axis=-1)
     consts = _group_constants(G)
-    kernel = functools.partial(
-        _inter_kernel_dma, G=G, b=b, qscale=qscale, qshift=qshift,
-        qoffset=qoffset, dscale=dscale, dshift=dshift,
-    )
+    qp = _qp_vec(qscale, qshift, qoffset, dscale, dshift)
+    kernel = functools.partial(_inter_kernel_dma, G=G, b=b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((G, b, b), lambda i, off: (i, 0, 0),
+            pl.BlockSpec((G, b, b), lambda i, off, qp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((_LW, 4 * b), lambda i, off: (0, 0),
+            pl.BlockSpec((_LW, 4 * b), lambda i, off, qp: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * b, _LW), lambda i, off: (0, 0),
+            pl.BlockSpec((4 * b, _LW), lambda i, off, qp: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, b), lambda i, off: (0, 0),
+            pl.BlockSpec((b, b), lambda i, off, qp: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * b, G * b), lambda i, off: (0, 0),
+            pl.BlockSpec((G * b, G * b), lambda i, off, qp: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * 8, G * b), lambda i, off: (0, 0),
+            pl.BlockSpec((G * 8, G * b), lambda i, off, qp: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, b), lambda i, off: (0, 0),
+            pl.BlockSpec((8, b), lambda i, off, qp: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((G, b, b), lambda i, off: (i, 0, 0),
+            pl.BlockSpec((G, b, b), lambda i, off, qp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, 1), lambda i, off: (i, 0, 0),
+            pl.BlockSpec((G, 1, 1), lambda i, off, qp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, 1), lambda i, off: (i, 0, 0),
+            pl.BlockSpec((G, 1, 1), lambda i, off, qp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 8, 8), lambda i, off: (i, 0, 0),
+            pl.BlockSpec((G, 8, 8), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 8), lambda i, off, qp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -639,7 +650,7 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
-    rec, frac, cost, nnz = pl.pallas_call(
+    rec, frac, cost, nnz, bits = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
@@ -647,13 +658,14 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
             jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(offsets, src_ctus, ref_plane, *consts)
-    return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n]
+    )(offsets, qp, src_ctus, ref_plane, *consts)
+    return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n], bits[:n]
 
 
 from .. import registry as _registry

@@ -84,10 +84,26 @@ def _interp_core(win, bx, ay, h):
 
 def _pad_windows(windows, h, taps):
     n, wh, ww = windows.shape
-    assert wh >= h + taps - 1 and ww <= _LW
+    if ww > _LW:
+        # Wider-than-slab geometry: NotImplementedError (not a bare assert)
+        # so registry-level tier substitution can degrade to the REF tier,
+        # which handles any width (ADVICE r3).
+        raise NotImplementedError(
+            f"mc_pallas covers w + taps - 1 <= {_LW} (got {ww})")
+    assert wh >= h + taps - 1
     rh = h + taps  # aligned row count (h + taps - 1 rounded up by 1)
     return jnp.pad(windows, ((0, 0), (0, max(0, rh - wh)),
                              (0, _LW - ww)))[:, :rh]
+
+
+def _flatten_lead(window):
+    """(..., wh, ww) -> ((n, wh, ww), unflatten) handling any leading batch
+    dims, matching the REF ops' contract (ADVICE r3)."""
+    lead = window.shape[:-2]
+    flat = window.reshape((-1,) + window.shape[-2:])
+    def unflatten(out):
+        return out.reshape(lead + out.shape[-2:])
+    return flat, unflatten
 
 
 def _uni_kernel(fr, win_ref, bx_ref, ay_ref, out_ref, *, h):
@@ -133,12 +149,14 @@ def pred_uni_pallas(window, xfrac, yfrac, taps: int = 8):
     """PALLAS tier of ops.pred_uni (8-tap luma quarter-pel or 4-tap
     chroma eighth-pel).  Accepts the REF signature: window
     (..., h+taps-1, w+taps-1), int or per-block traced fractions."""
-    squeeze = window.ndim == 2
-    if squeeze:
-        window = window[None]
+    window, unflatten = _flatten_lead(window)
     h, w = window.shape[-2] - taps + 1, window.shape[-1] - taps + 1
+    if jnp.ndim(xfrac):
+        xfrac = jnp.reshape(xfrac, (-1,))
+    if jnp.ndim(yfrac):
+        yfrac = jnp.reshape(yfrac, (-1,))
     out = pred_uni_pallas_batched(window, xfrac, yfrac, h, w, taps)
-    return out[0] if squeeze else out
+    return unflatten(out)
 
 
 def _bi_kernel(fr, w0_ref, w1_ref, bx0_ref, ay0_ref, bx1_ref, ay1_ref,
@@ -195,14 +213,14 @@ def pred_bi_pallas(window0, window1, xfrac0, yfrac0, xfrac1, yfrac1,
                    taps: int = 8):
     """PALLAS tier of ops.pred_bi: fused dual-path interpolation +
     combining mean, both filter families."""
-    squeeze = window0.ndim == 2
-    if squeeze:
-        window0, window1 = window0[None], window1[None]
+    window0, unflatten = _flatten_lead(window0)
+    window1, _ = _flatten_lead(window1)
     h = window0.shape[-2] - taps + 1
     w = window0.shape[-1] - taps + 1
-    out = pred_bi_pallas_batched(window0, window1, xfrac0, yfrac0,
-                                 xfrac1, yfrac1, h, w, taps)
-    return out[0] if squeeze else out
+    fr = [jnp.reshape(f, (-1,)) if jnp.ndim(f) else f
+          for f in (xfrac0, yfrac0, xfrac1, yfrac1)]
+    out = pred_bi_pallas_batched(window0, window1, *fr, h, w, taps)
+    return unflatten(out)
 
 
 registry.register("pred_uni", Tier.PALLAS, pred_uni_pallas)

@@ -116,7 +116,7 @@ def _mega_kernel(off_ref, src_ref, plane_ref, bx_ref, ay_ref, bd_ref,
         pred, fidx, cost = _refine_core(src32, rwin, bx_ref, ay_ref, b=64)
 
         # --- residual ----------------------------------------------------
-        rec, cnt = residual_core(
+        rec, cnt, _ = residual_core(
             src32, pred, bd_ref[...], pool_ref[...],
             qscale=qscale, qshift=qshift, qoffset=qoffset,
             dscale=dscale, dshift=dshift,

@@ -67,6 +67,18 @@ def _wrap16(x):
     return x.astype(jnp.int16).astype(jnp.int32)
 
 
+def _bits_egk(q):
+    """Exp-Golomb-style bit cost per quantized level, elementwise int32:
+    0 for q == 0 else 2*floor(log2|q|) + 3 — the encode/rate.py
+    bits_estimate proxy, computed exactly via the f32 exponent field
+    (|q| <= 32767 < 2^24 converts exactly; floor(log2 a) = biased exponent
+    - 127)."""
+    a = jnp.abs(q)
+    fl = (jax.lax.bitcast_convert_type(
+        jnp.maximum(a, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
+    return jnp.where(a > 0, 2 * fl + 3, 0)
+
+
 def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
                   dshift, tu: int = 8):
     """The fused TU pipeline on one CTU, reusable from other Pallas kernels
@@ -74,7 +86,8 @@ def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
 
     src/pred (64, 64) int32, bd = block_diag_t(tu), pool the matching
     kron(I, ones(1, tu)) -> (recon (64, 64) int32 in [0, 255],
-    nnz (64/tu, 64/tu) int32 per-TU coded-coefficient counts).  Forward
+    nnz (64/tu, 64/tu) int32 per-TU coded-coefficient counts,
+    bits (64/tu, 64/tu) int32 per-TU Exp-Golomb bit-cost sums).  Forward
     shifts follow residual_decode.c:855-892 (s1 = log2 - 1, s2 = log2 + 6);
     the hi/lo-split matmuls stay exact for every size (<= 32 products of
     8-bit x T-coefficient magnitudes < 2^24)."""
@@ -102,6 +115,12 @@ def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
     nz = (q != 0).astype(jnp.float32)
     cnt = jnp.dot(jnp.dot(pool, nz, preferred_element_type=jnp.float32), pool.T,
                   preferred_element_type=jnp.float32)
+    # Per-TU Exp-Golomb bit-cost sums ride the same pooling sandwich
+    # (<= 33 bits x 64 coeffs per TU: f32-exact) so rate control can run
+    # the fused tier with no separate level readback (VERDICT r3 #3).
+    bits = jnp.dot(jnp.dot(pool, _bits_egk(q).astype(jnp.float32),
+                           preferred_element_type=jnp.float32), pool.T,
+                   preferred_element_type=jnp.float32)
 
     # Dequantize (quantize.c:53-62).
     dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
@@ -112,7 +131,7 @@ def residual_core(src, pred, bd, pool, *, qscale, qshift, qoffset, dscale,
     r1 = jnp.clip((_mm(bd.T, dq) + 64) >> 7, -32768, 32767)
     r2 = jnp.clip((_mm_t(r1, bd.T) + 2048) >> 12, -32768, 32767)
 
-    return jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32)
+    return jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32), bits.astype(jnp.int32)
 
 
 def residual_core_stacked(src, pred, bd, bdg, poolg, pool, *, qscale, qshift,
@@ -138,26 +157,30 @@ def residual_core_stacked(src, pred, bd, bdg, poolg, pool, *, qscale, qshift,
     nz = (q != 0).astype(jnp.float32)
     cnt = jnp.dot(jnp.dot(poolg, nz, preferred_element_type=jnp.float32),
                   pool.T, preferred_element_type=jnp.float32)
+    bits = jnp.dot(jnp.dot(poolg, _bits_egk(q).astype(jnp.float32),
+                           preferred_element_type=jnp.float32), pool.T,
+                   preferred_element_type=jnp.float32)
 
     dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
     r1 = jnp.clip((_mm(bdg.T, dq) + 64) >> 7, -32768, 32767)
     r2 = jnp.clip((_mm_t(r1, bd.T) + 2048) >> 12, -32768, 32767)
-    return jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32)
+    return (jnp.clip(pred + r2, 0, 255), cnt.astype(jnp.int32),
+            bits.astype(jnp.int32))
 
 
-def _kernel(src_ref, pred_ref, bd_ref, pool_ref, out_ref, nnz_ref, *, qscale,
-            qshift, qoffset, dscale, dshift, tu):
-    rec, cnt = residual_core(
+def _kernel(src_ref, pred_ref, bd_ref, pool_ref, qp_ref, out_ref, nnz_ref,
+            *, tu):
+    rec, cnt, _ = residual_core(
         src_ref[0].astype(jnp.int32), pred_ref[0].astype(jnp.int32),
         bd_ref[...], pool_ref[...],
-        qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift, tu=tu,
+        qscale=qp_ref[0], qshift=qp_ref[1], qoffset=qp_ref[2],
+        dscale=qp_ref[3], dshift=qp_ref[4], tu=tu,
     )
     nnz_ref[0] = cnt
     out_ref[0] = rec.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("qscale", "qshift", "qoffset", "dscale", "dshift", "tu", "tr_type"))
+@functools.partial(jax.jit, static_argnames=("tu", "tr_type"))
 def residual_pipeline_ctu(
     src_ctus: jnp.ndarray,
     pred_ctus: jnp.ndarray,
@@ -181,10 +204,9 @@ def residual_pipeline_ctu(
     k = b // tu
     bd = jnp.asarray(block_diag_t(tu, b, tr_type)).astype(jnp.bfloat16)
     pool = jnp.asarray(np.kron(np.eye(k, dtype=np.float32), np.ones((1, tu), np.float32)))
-    kernel = functools.partial(
-        _kernel, qscale=qscale, qshift=qshift, qoffset=qoffset,
-        dscale=dscale, dshift=dshift, tu=tu,
-    )
+    qp = jnp.stack([jnp.asarray(v, jnp.int32)
+                    for v in (qscale, qshift, qoffset, dscale, dshift)])
+    kernel = functools.partial(_kernel, tu=tu)
     rec, nnz = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -193,6 +215,7 @@ def residual_pipeline_ctu(
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -203,7 +226,7 @@ def residual_pipeline_ctu(
             jax.ShapeDtypeStruct((n, k, k), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(src_ctus, pred_ctus, bd, pool)
+    )(src_ctus, pred_ctus, bd, pool, qp)
     return rec, nnz
 
 

@@ -210,7 +210,27 @@ def _energy_mxu(wi, band, b):
     return (e_a << 14) + (e_b << 7) + e_c            # [dx, dy]
 
 
-def _chunked_body(si_u8, wi_u8, band, *, b, num_dy, num_dx, wh, ww, chunks):
+def _build_stack_scratch(srcw8: jnp.ndarray, num_dx: int, scr, gi) -> jnp.ndarray:
+    """The packed doubling build written into a VMEM scratch instead of
+    repeated concats: each concat step copies the WHOLE accumulated prefix
+    again (total ~2x the final stack), while scratch slice-writes touch
+    each output row once plus one prefix read per doubling step — about
+    half the VPU traffic of _build_stack_chunked at production num_dx."""
+    h = srcw8.shape[0]
+    rows = h // 4
+    scr[gi, 0:rows] = pltpu.bitcast(srcw8, jnp.int32)
+    m = 1
+    while m < num_dx:
+        take = min(m, num_dx - m)
+        scr[gi, m * rows:(m + take) * rows] = pltpu.roll(
+            scr[gi, 0:take * rows], m, axis=1
+        )
+        m += take
+    return pltpu.bitcast(scr[gi, 0:num_dx * rows], jnp.int8)
+
+
+def _chunked_body(si_u8, wi_u8, band, *, b, num_dy, num_dx, wh, ww, chunks,
+                  stack_scr=None):
     """Chunked-K SSD grid for ONE CTU (see _kernel_chunked)."""
     Q = chunks
     h = b // Q
@@ -230,7 +250,10 @@ def _chunked_body(si_u8, wi_u8, band, *, b, num_dy, num_dx, wh, ww, chunks):
     srcw8 = jnp.concatenate(
         [sip[q * h : (q + 1) * h] for q in range(Q)], axis=1
     ).astype(jnp.int8)                               # (h, Q*LW)
-    stk = _build_stack_chunked(srcw8, num_dx)        # (num_dx*h, Q*LW)
+    if stack_scr is not None:
+        stk = _build_stack_scratch(srcw8, num_dx, *stack_scr)
+    else:
+        stk = _build_stack_chunked(srcw8, num_dx)    # (num_dx*h, Q*LW)
 
     # RHS: lane-concat of the window rolled up by q*h sublanes (rolled in
     # the int32 domain, then narrowed — values are centered into [-128,127]
@@ -331,12 +354,12 @@ def _kernel(src_ref, win_ref, out_ref, *, b, num_dy, num_dx, wh, ww,
 
 @functools.partial(
     jax.jit, static_argnames=("num_dy", "num_dx", "stack", "band", "mm",
-                              "chunks", "group")
+                              "chunks", "group", "prep")
 )
 def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
              stack: str = "packed", band: str = "tree",
              mm: str = "int8", chunks: int = 8,
-             group: int | None = None) -> jnp.ndarray:
+             group: int | None = None, prep: str = "xla") -> jnp.ndarray:
     """Pallas rolled-source full-search SSD grid.
 
     src (n, b, b) uint8, window (n, >=b+num_dy-1, >=b+num_dx-1) uint8
@@ -365,6 +388,48 @@ def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
         mm == "int8" and b % chunks == 0 and (b // chunks) % 8 == 0
     ):
         chunks = 1
+    if chunks > 1 and prep == "xla":
+        # Layout-in-XLA path: the kernel computes only the correlation band
+        # (_kernel_corr); source/window layout, srcsq, window energy, and
+        # the final combine are XLA ops fused around the kernel.
+        if group is None:
+            group = max(2, 128 // b)
+        G = min(group, n)
+        steps = -(-n // G)
+        pad = steps * G - n
+        if pad:
+            src = jnp.pad(src, ((0, pad), (0, 0), (0, 0)))
+            window = jnp.pad(window, ((0, pad), (0, 0), (0, 0)))
+        h = b // chunks
+        si = src.astype(jnp.int32) - 128
+        srcsq = jnp.sum(si * si, axis=(1, 2)).reshape(-1, 1, 1)
+        srcc = _prep_src_chunked(src, b, h, chunks)
+        win8 = _prep_win_i8(window, wh, ww)
+        kernel = functools.partial(
+            _kernel_corr, b=b, h=h, num_dx=num_dx, num_dy=num_dy,
+            chunks=chunks, group=G,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((G, h, chunks * _LW), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, _LW, _LW), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_LW, _LW), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, num_dx, num_dy), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((steps * G, num_dx, num_dy),
+                                           jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(srcc, win8, srcsq, jnp.asarray(_band_ones(b)))[:n]
+        out = jnp.swapaxes(out, 1, 2)                    # (n, num_dy, num_dx)
+        return out[0] if squeeze else out
     if chunks > 1:
         if group is None:
             # Small blocks are per-step-overhead bound: scale the group so
@@ -420,3 +485,300 @@ registry.register(
     "ssd_grid", Tier.PALLAS, ssd_grid,
     available=lambda: jax.default_backend() == "tpu",
 )
+
+
+def _kernel_corr(src_ref, win_ref, sq_ref, band_ref, out_ref, *, b, h,
+                 num_dx, num_dy, chunks, group):
+    """Chunked kernel with the LAYOUT work moved to XLA.
+
+    Inputs per CTU (prepared by the wrapper, where XLA fuses them into the
+    window gather for ~free): src_ref (h, Q*LW) int8 — the CENTERED source
+    in chunk-wide layout, zero beyond column b of each block; win_ref
+    (LW, LW) int8 — the centered window, zero beyond (wh, ww); sq_ref
+    (1, 1) int32 — sum(sc^2).  RHS block q is the window rolled up by q*h
+    rows, built with packed-bitcast rolls (4 rows per int32 element — a
+    quarter of the elements the r3 kernel's int32-plane rolls moved).
+    Window energy stays IN-KERNEL on the MXU: computing it in XLA measured
+    0.8-1.1 ms/frame (cumsum lowers poorly on TPU and the (n, 128, 128)
+    int32 intermediates cost ~150 MB of HBM) vs ~0.05 ms for the in-VMEM
+    _energy_mxu — a measured negative result (docs/DESIGN.md section 6)."""
+    Q = chunks
+    rows4 = _LW // 4
+    for gi in range(group):
+        wi = win_ref[gi].astype(jnp.int32)               # centered already
+        eyt = _energy_mxu(wi, band_ref[...], b)          # [dx, dy]
+        stk = _build_stack_chunked(src_ref[gi], num_dx)  # (num_dx*h, Q*LW)
+        wp = pltpu.bitcast(win_ref[gi], jnp.int32)       # (LW/4, LW)
+        rhs = pltpu.bitcast(
+            jnp.concatenate(
+                [wp if q == 0 else
+                 pltpu.roll(wp, (rows4 - q * h // 4) % rows4, axis=0)
+                 for q in range(Q)],
+                axis=1,
+            ),
+            jnp.int8,
+        )                                                # (LW, Q*LW)
+        g = jax.lax.dot_general(stk, rhs, _DN1, preferred_element_type=jnp.int32)
+        corr = _band_tree(g, h, num_dx, num_dy, _LW)
+        out_ref[gi] = sq_ref[gi, 0, 0] + eyt[:num_dx, :num_dy] - 2 * corr
+
+
+def _prep_src_chunked(src, b, h, chunks):
+    """(n, b, b) uint8 -> centered int8 chunk-wide (n, h, Q*LW), zero-padded
+    lanes beyond b per block (pure XLA layout ops; fuses with the caller)."""
+    n = src.shape[0]
+    s8 = (src.astype(jnp.int16) - 128).astype(jnp.int8)
+    s8 = s8.reshape(n, chunks, h, b).transpose(0, 2, 1, 3)   # (n, h, Q, b)
+    s8 = jnp.pad(s8, ((0, 0), (0, 0), (0, 0), (0, _LW - b)))
+    return s8.reshape(n, h, chunks * _LW)
+
+
+def _prep_win_i8(window, wh, ww):
+    """(n, wh, ww) uint8 -> centered int8 (n, LW, LW), zero beyond (wh, ww)."""
+    w8 = (window.astype(jnp.int16) - 128).astype(jnp.int8)
+    return jnp.pad(w8, ((0, 0), (0, _LW - wh), (0, _LW - ww)))
+
+
+def _energy_xla(window, b, num_dy, num_dx):
+    """Sliding (b, b) box sums of the centered window's squares, oriented
+    [dy, dx] — pure XLA (prefix sums + slices), bit-exact integers.  Any
+    int32 prefix overflow is benign: the sliding difference of prefix sums
+    is exact modulo 2^32 and the true box sum is < 2^31."""
+    wc = window.astype(jnp.int32) - 128
+    w2 = wc * wc
+    csr = jnp.cumsum(w2, axis=1)
+    z = jnp.zeros_like(csr[:, :1])
+    sr = csr[:, b - 1 : b - 1 + num_dy] - jnp.concatenate(
+        [z, csr[:, : num_dy - 1]], axis=1
+    )                                                   # (n, num_dy, ww)
+    csc = jnp.cumsum(sr, axis=2)
+    zc = jnp.zeros_like(csc[:, :, :1])
+    return csc[:, :, b - 1 : b - 1 + num_dx] - jnp.concatenate(
+        [zc, csc[:, :, : num_dx - 1]], axis=2
+    )                                                   # (n, num_dy, num_dx)
+
+
+def _argmin_mv(ssd, num):
+    """First-minimum argmin of the [dx, dy] grid in motion.full_search's
+    flattened [dy, dx] row-major order; returns a (1, 8) lane vector
+    [dy - r, dx - r, best, 0...]."""
+    r = (num - 1) // 2
+    best = jnp.min(ssd)
+    dxi = jax.lax.broadcasted_iota(jnp.int32, (num, num), 0)
+    dyi = jax.lax.broadcasted_iota(jnp.int32, (num, num), 1)
+    idx = jnp.min(jnp.where(ssd == best, dyi * num + dxi, jnp.int32(1 << 30)))
+    dy, dx = idx // num, idx % num
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    return (jnp.where(lane == 0, dy - r, 0)
+            + jnp.where(lane == 1, dx - r, 0)
+            + jnp.where(lane == 2, best, 0))
+
+
+def _kernel_chunked_mv(src_ref, win_ref, band_ref, out_ref, stk_scr, *, b,
+                       num, wh, ww, chunks, group, scratch_stack):
+    """Chunked-K search + in-kernel argmin: emits (mv, best) per CTU
+    directly, so the (num, num) score grids never reach HBM.
+    scratch_stack selects the VMEM-scratch stack build (measured SLOWER
+    than the concat build on v5e — kept for the record)."""
+    for gi in range(group):
+        ssd = _chunked_body(
+            src_ref[gi], win_ref[gi], band_ref[...],
+            b=b, num_dy=num, num_dx=num, wh=wh, ww=ww, chunks=chunks,
+            stack_scr=(stk_scr, gi) if scratch_stack else None,
+        )
+        out_ref[gi] = _argmin_mv(ssd, num)
+
+
+@functools.partial(jax.jit, static_argnames=("num", "chunks", "group",
+                                              "scratch_stack"))
+def search_mv(src: jnp.ndarray, windows: jnp.ndarray, num: int,
+              chunks: int = 8, group: int = 2, scratch_stack: bool = False):
+    """Windowed full search returning (mv (n, 2), best (n,)) directly.
+
+    Same scoring as ssd_grid (chunked path) with the argmin fused into the
+    kernel; windows are gathered by the caller (motion.extract_aligned_
+    windows — cheap pure-reshape extraction).  Requires the chunked-path
+    geometry (b % chunks == 0, (b / chunks) % 8 == 0).
+    """
+    n, b, _ = src.shape
+    wh, ww = b + num - 1, b + num - 1
+    assert b % chunks == 0 and (b // chunks) % 8 == 0
+    windows = windows[:, :wh, :ww]
+    G = min(group, n)
+    steps = -(-n // G)
+    pad = steps * G - n
+    if pad:
+        src = jnp.pad(src, ((0, pad), (0, 0), (0, 0)))
+        windows = jnp.pad(windows, ((0, pad), (0, 0), (0, 0)))
+    h = b // chunks
+    kernel = functools.partial(
+        _kernel_chunked_mv, b=b, num=num, wh=wh, ww=ww, chunks=chunks,
+        group=G, scratch_stack=scratch_stack,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, wh, ww), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, _LW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 1, 8), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * G, 1, 8), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((G, num * h // 4, chunks * _LW), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(src, windows, jnp.asarray(_band_ones(b)))
+    out = out[:n, 0]
+    return out[:, 0:2], out[:, 2]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel-DMA full search: window fetch + SSD grid + argmin in ONE kernel.
+# ---------------------------------------------------------------------------
+
+_SLAB_C = 256  # aligned column span: worst-case 128-lane block offset (127)
+               # plus the 128-wide search window
+
+
+def _search_kernel_dma(off_ref, src_ref, plane_ref, band_ref, out_ref,
+                       slab_scr, stk_scr, sems, *, b, num, chunks, group):
+    """Per CTU: DMA an aligned (s, 256) slab of the reference plane at the
+    CTU's POSITION (known per frame, scalar-prefetched — nothing here is
+    data-dependent), de-skew the 128-lane block offset with ONE packed lane
+    roll (4 rows ride each int32 via bitcast, so the roll moves 1/4 the
+    elements), run the chunked-K SSD grid on the resident window, and emit
+    (mv, best) directly — the (num, num) grid never touches HBM and the
+    separate window-extraction stage disappears.
+
+    This keeps the search as its OWN kernel (unlike mega_pallas, whose
+    single-residency monolith measured slower: docs/DESIGN.md section 6) so
+    XLA still overlaps it with the fused refine+residual kernel's DMAs.
+    Tie-break matches motion.full_search: first minimum of the flattened
+    [dy, dx] row-major grid.
+    """
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    G = group
+    s = b + num - 1  # == _LW for the covered geometry
+
+    def dma(step, slot, g):
+        j = step * G + g
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off_ref[j, 0] * 8, s),
+                         pl.ds(off_ref[j, 1] * _LW, _SLAB_C)],
+            slab_scr.at[slot, g],
+            sems.at[slot, g],
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            dma(i, slot, g).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        for g in range(G):
+            dma(i + 1, 1 - slot, g).start()
+
+    for g in range(G):
+        dma(i, slot, g).wait()
+
+    for g in range(G):
+        dxc = off_ref[i * G + g, 2]
+        packed = pltpu.bitcast(slab_scr[slot, g], jnp.int32)   # (s/4, 256)
+        packed = pltpu.roll(packed, (_SLAB_C - dxc) % _SLAB_C, axis=1)
+        win = pltpu.bitcast(packed, jnp.uint8)[:, :_LW]        # (s, 128)
+        ssd = _chunked_body(
+            src_ref[g], win, band_ref[...],
+            b=b, num_dy=num, num_dx=num, wh=s, ww=s, chunks=chunks,
+            stack_scr=(stk_scr, g),
+        )                                                      # [dx, dy]
+        out_ref[g] = _argmin_mv(ssd, num)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunks", "group"))
+def search_mv_dma(src_ctus: jnp.ndarray, ref_padded: jnp.ndarray,
+                  positions: jnp.ndarray, r: int, chunks: int = 8,
+                  group: int = 2):
+    """Full-search motion estimation with in-kernel window DMA + argmin.
+
+    src_ctus (n, 64, 64) uint8; ref_padded the plane padded by (r + 3)
+    top/left, (r + 4) bottom/right (loop.py's construction); positions
+    (n, 2) int32 CTU [y, x] in unpadded coords, every coordinate a
+    multiple of 8 (the CTU grid guarantees multiples of 64).  Covers the
+    headline geometry b == 64, b + 2r == 128; other geometries use
+    ssd_grid + XLA argmin (motion.full_search).
+
+    Returns (mv (n, 2) int32 [dy, dx] in [-r, r], best (n,) int32),
+    bit-identical to motion.full_search with the Pallas ssd_grid
+    (tests/test_search_pallas.py).
+
+    Reference analogue: sad_a.asm:56-194's role — but here the *entire*
+    search stage cost, including the window loads the asm's caller pays
+    for, lives in the one kernel (VERDICT r3 #1).
+    """
+    n, b, _ = src_ctus.shape
+    num = 2 * r + 1
+    s = b + 2 * r
+    assert b == 64 and s == _LW, "search_mv_dma covers the 64/+-32 geometry"
+    hp, wp = ref_padded.shape
+    # The search window of the CTU at (y0, x0) starts at padded coords
+    # (y0 + 3, x0 + 3).  Five extra top rows land window rows on the 8-row
+    # DMA grid (y0 + 8, y0 % 8 == 0); columns keep their 128-block offset
+    # (de-skewed in kernel).  Right pad: the aligned 256-lane slab of the
+    # rightmost CTU (x0 = w - 64) reaches at most x0 + 259 = wp + 124;
+    # round the width to the 128-lane multiple Mosaic requires.  Rows:
+    # the bottom CTU's slab ends at (h - 64) + 8 + 128 = hp + 1 - 2r + ...
+    # computed exactly below.
+    need_r = max(0, (hp - (2 * r + 7) - b) + 8 + s - (hp + 5))
+    need_c = max(0, (wp - (2 * r + 7) - b) + 3 + _SLAB_C - wp)
+    need_c += -(wp + need_c) % _LW
+    plane = jnp.pad(ref_padded, ((5, need_r), (0, need_c)))
+
+    G = min(group, n)
+    steps = -(-n // G)
+    pad_n = steps * G - n
+    if pad_n:
+        src_ctus = jnp.pad(src_ctus, ((0, pad_n), (0, 0), (0, 0)))
+        positions = jnp.pad(positions, ((0, pad_n), (0, 0)))
+    y = positions[:, 0] + 8
+    x = positions[:, 1] + 3
+    off = jnp.stack([y // 8, x // _LW, x % _LW], axis=-1)
+
+    kernel = functools.partial(
+        _search_kernel_dma, b=b, num=num, chunks=chunks, group=G,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_LW, _LW), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 1, 8), lambda i, off: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, s, _SLAB_C), jnp.uint8),
+            pltpu.VMEM((G, num * (b // chunks) // 4, chunks * _LW), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((steps * G, 1, 8), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(off, src_ctus, plane, jnp.asarray(_band_ones(b)))
+    out = out[:n, 0]
+    return out[:, 0:2], out[:, 2]

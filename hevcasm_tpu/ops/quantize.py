@@ -14,18 +14,23 @@ import numpy as np
 import jax.numpy as jnp
 from jax.experimental import checkify
 
-__all__ = ["quantize", "quantize_inverse", "reconstruct", "quantize_checked"]
+__all__ = ["quantize", "quantize_inverse", "reconstruct", "quantize_checked",
+           "check_params_traced"]
 
 
 def _require(name, val, lo, hi, traced_check: bool):
     """Enforce a reference-asserted parameter range (quantize.c:162-165).
 
-    Concrete values (python/numpy ints/arrays — every static-qp call path)
-    fail immediately with ValueError.  Traced values (the rate-control
-    path, encode/rate.py) cannot be inspected at trace time; when
-    ``traced_check`` a checkify.check is emitted — callers must then be
-    functionalized (use quantize_checked), since a bare check raises under
-    plain jit."""
+    Concrete values (python/numpy ints/arrays AND committed jax Arrays —
+    every static-qp call path, ADVICE r3) fail immediately with
+    ValueError.  Traced values (the rate-control path, encode/rate.py)
+    cannot be inspected at trace time; when ``traced_check`` a
+    checkify.check is emitted — callers must then be functionalized (use
+    quantize_checked), since a bare check raises under plain jit."""
+    import jax
+
+    if isinstance(val, jax.Array) and not isinstance(val, jax.core.Tracer):
+        val = np.asarray(val)
     if isinstance(val, (int, np.integer, np.ndarray)):
         if not np.all((np.asarray(val) >= lo) & (np.asarray(val) <= hi)):
             raise ValueError(f"quantize: {name}={val} outside [{lo}, {hi}] "
@@ -35,6 +40,17 @@ def _require(name, val, lo, hi, traced_check: bool):
             jnp.all((jnp.asarray(val) >= lo) & (jnp.asarray(val) <= hi)),
             f"quantize: {name} outside [{lo}, {hi}]",
         )
+
+
+def check_params_traced(scale, shift, offset):
+    """Emit the reference's asserted forward-quantizer ranges
+    (quantize.c:162-165) as checkify checks on traced parameters — for
+    callers that feed the parameters to fused kernels without going
+    through quantize() (encode/rate.py's fused tier).  Must run under a
+    checkify transform."""
+    _require("scale", scale, 1, 0x7FFF, True)
+    _require("shift", shift, 16, 27, True)
+    _require("offset", offset, 0, 0x7FFF, True)
 
 
 def quantize(src: jnp.ndarray, scale, shift, offset,

@@ -50,7 +50,7 @@ def test_fused_kernel_matches_parts(frames):
 
     scale, shift, offset = cfg.quant_params(False)
     dscale, dshift = cfg.dequant_params()
-    rec_f, frac_f, cost_f, nnz_f = inter_ctu_fused(
+    rec_f, frac_f, cost_f, nnz_f, _ = inter_ctu_fused(
         src, win, scale, shift, offset, dscale, dshift)
 
     pred, frac, cost = refine_quarter_pel_fused(src, win)

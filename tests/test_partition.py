@@ -177,3 +177,32 @@ def test_tu_selection_all_sizes(frames):
     ch = np.asarray(out["tu_choice"])
     assert ch.shape == (6,) and set(np.unique(ch)) <= {0, 1, 2, 3}
     assert float(out["psnr_db"]) > 25.0
+
+
+@pytest.mark.parametrize("layouts", [
+    ("2Nx2N", "2NxN", "Nx2N", "NxN", "quarter"),
+    ("2Nx2N", "NxN", "eighth"),
+])
+def test_pruned_pu_selection_matches_full(frames, layouts):
+    """select_pu_layout_pruned (refine only the winning layout, one shared
+    base tiling) is bit-identical to the refine-everything path's selected
+    output: SAD additivity over tiles + FIR translation invariance."""
+    cur, ref = frames
+    h, w = cur.shape
+    r = 8
+    gr, gc = h // 64, w // 64
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), r + 3, r + 4, r + 3, r + 4)
+    pos = motion.ctu_positions(gr, gc, 64)
+    win = motion.extract_windows(rp, pos + 3, 64 + 2 * r)
+    lam = partition.mv_lambda(32)
+
+    pred_f, choice_f, _, best_f = partition.select_pu_layout(
+        src, rp, pos, win, r, lam, layouts, ssd_grid)
+    pred_p, choice_p, mv_tiles, best_p = partition.select_pu_layout_pruned(
+        src, rp, pos, win, r, lam, layouts, ssd_grid)
+    assert np.array_equal(np.asarray(choice_f), np.asarray(choice_p))
+    assert np.array_equal(np.asarray(best_f), np.asarray(best_p))
+    assert np.array_equal(np.asarray(pred_f), np.asarray(pred_p))
+    k = 64 // partition.base_for(layouts)
+    assert mv_tiles.shape == (src.shape[0], k, k, 2)

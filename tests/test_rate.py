@@ -73,3 +73,40 @@ def test_rate_control_steers_bits(rng):
     assert np.all(settled > target / 2.5) and np.all(settled < target * 2.5), (bits, qps, target)
     # and qp must actually have moved from the start value
     assert qps[0] == 40 and qps[-1] != 40
+
+
+def test_rate_controlled_gop_fused_matches_staged(rng):
+    """The fused-tier rate-controlled GOP (traced qp in SMEM, in-kernel
+    Exp-Golomb bit counts) is bit-exact with the staged traced path —
+    same recons, same bit counts, same qp trajectory (VERDICT r3 #3)."""
+    frames = _clip(rng, 5, 128, 128, noise=10)
+    staged = encode_gop_rate_controlled(
+        jnp.asarray(frames), 6000.0, 32,
+        EncodeConfig(search_range=8, refine_impl="ref"),
+    )
+    for impl in ("fused", "fused_dma"):
+        fused = encode_gop_rate_controlled(
+            jnp.asarray(frames), 6000.0, 32,
+            EncodeConfig(search_range=8, inter_impl=impl),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(staged["recon"]), np.asarray(fused["recon"]))
+        np.testing.assert_array_equal(
+            np.asarray(staged["bits"]), np.asarray(fused["bits"]))
+        np.testing.assert_array_equal(
+            np.asarray(staged["qp"]), np.asarray(fused["qp"]))
+
+
+@pytest.mark.parametrize("impl", ["stages", "fused"])
+def test_rate_control_out_of_range_qp_raises(rng, impl):
+    """A traced qp that drives the quantizer shift past the reference's
+    asserted 16..27 window (quantize.c:162-165) fails loudly via checkify
+    instead of silently wrapping (VERDICT r3 weak #3)."""
+    frames = _clip(rng, 3, 128, 128, noise=10)
+    cfg = EncodeConfig(search_range=8, inter_impl=impl,
+                       refine_impl="ref" if impl == "stages" else "mxu")
+    with pytest.raises(Exception, match="outside"):
+        # qp 60 -> shift = 21 + 10 - 3 = 28 > 27
+        encode_gop_rate_controlled(
+            jnp.asarray(frames), 6000.0, 60, cfg, qp_min=55, qp_max=70
+        )
