@@ -43,7 +43,8 @@ from . import motion
 __all__ = [
     "PU_LAYOUTS", "base_for", "base_grid_search", "grid_integral",
     "rect_grid", "layout_decision", "refine_layout", "select_pu_layout",
-    "multi_level_search", "select_tu_recon", "mv_lambda",
+    "select_pu_layout_pruned", "multi_level_search", "select_tu_recon",
+    "mv_lambda",
 ]
 
 # Layout name -> PU rects (y0, x0, h, w) tiling the 64x64 CTU.  The HEVC
@@ -114,17 +115,22 @@ def rect_grid(gint: jnp.ndarray, rect, base: int) -> jnp.ndarray:
             - gint[:, i1, j0] + gint[:, i0, j0])
 
 
-def layout_decision(gint: jnp.ndarray, layouts, r: int, lam: int, base: int):
+def layout_decision(gint: jnp.ndarray, layouts, r: int, lam: int, base: int,
+                    rect_fn=None):
     """Integer-MV argmin per PU per layout + per-CTU layout costs.
 
+    rect_fn(rect) -> (n, num, num) overrides the default CTU-major
+    integral lookup (the grid-major plane path passes its own).
     Returns (costs (n, L) int32, mvs {layout: (n, P, 2)} integer MVs)."""
+    if rect_fn is None:
+        rect_fn = lambda rect: rect_grid(gint, rect, base)
     costs, mvs = [], {}
     for name in layouts:
         rects = PU_LAYOUTS[name]
         tot = 0
         mvl = []
         for rect in rects:
-            g = rect_grid(gint, rect, base)
+            g = rect_fn(rect)
             mv, best = _argmin_grid(g, r)
             tot = tot + best
             mvl.append(mv)
@@ -211,7 +217,8 @@ def _tile_pu_table(layouts, base: int) -> np.ndarray:
 
 
 def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
-                            lam: int, layouts, grid_fn):
+                            lam: int, layouts, grid_fn, grid=None,
+                            metric: str = "ssd"):
     """PU decision with refinement PRUNED to each CTU's winning layout.
 
     The r3 path refined ALL layouts for ALL CTUs and then discarded all
@@ -239,11 +246,22 @@ def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
     m = k * k
     pmax = max(len(PU_LAYOUTS[name]) for name in layouts)
 
-    g = base_grid_search(src_ctus, windows, r, grid_fn, base)
+    if grid is not None and 64 + 2 * r == 128 and metric == "ssd":
+        # One-kernel base grids: each CTU's k*k sub-block grids from its
+        # single resident (128, 128) window with a shared energy box map
+        # (kernels/search_pallas.base_grids_ctu) — no per-sub-block window
+        # slab stack, no repeated energy.
+        from ..kernels.search_pallas import base_grids_ctu
+
+        win_ctu = motion.extract_aligned_windows(
+            ref_padded, (motion.PAD_L, motion.PAD_L), grid, 64, 128)
+        g = base_grids_ctu(src_ctus, win_ctu, base)
+    else:
+        g = base_grid_search(src_ctus, windows, r, grid_fn, base)
     gint = grid_integral(g)
     costs, mvs = layout_decision(gint, layouts, r, lam, base)
-    choice = jnp.argmin(costs, axis=-1).astype(jnp.int32)
     _, best64 = _argmin_grid(rect_grid(gint, (0, 0, 64, 64), base), r)
+    choice = jnp.argmin(costs, axis=-1).astype(jnp.int32)
 
     # Per-tile PU index and integer MV of the CHOSEN layout only.
     table = jnp.asarray(_tile_pu_table(layouts, base))       # (L, m)
@@ -255,17 +273,19 @@ def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
     mv_tiles = jnp.take_along_axis(
         mv_tiles_l, choice[:, None, None, None], axis=1)[:, 0]  # (n, m, 2)
 
-    # ONE batched cost-map call over every base tile of the frame.
+    # ONE batched cost-map call over every base tile of the frame, windows
+    # pulled by in-kernel DMA at the MV offsets (the 8160-tile XLA gather
+    # measured ~8 ms/frame; the DMA streams the same slabs for ~free and
+    # hands back the de-skewed windows for the interpolation below).
+    from ..kernels.interp_pallas import refine_qpel_costmap_dma
+
     offs = jnp.asarray(
         [(ty * base, tx * base) for ty in range(k) for tx in range(k)],
         jnp.int32)                                           # (m, 2)
     src_tiles = ctu_mod.split_blocks(src_ctus, base)         # (n*m, base, base)
     start = (pos[:, None, :] + offs[None] + mv_tiles + r).reshape(n * m, 2)
-    ref_ext = jnp.pad(
-        ref_padded, ((0, 1), (0, 128 - (base + motion.TAPS - 1)))
-    )
-    slab = motion.extract_windows(ref_ext, start, (base + 8, 128))
-    cost_t = refine_qpel_costmap(src_tiles, slab).reshape(n, m, 16)
+    cost_t, slab = refine_qpel_costmap_dma(src_tiles, ref_padded, start)
+    cost_t = cost_t.reshape(n, m, 16)
 
     # Scatter-add tile maps into per-PU maps; ONE fraction per PU.
     cost_pu = jnp.zeros((n, pmax, 16), jnp.int32).at[

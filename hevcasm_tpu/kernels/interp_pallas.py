@@ -212,6 +212,56 @@ def _costmap_kernel(src_ref, win_ref, bx_ref, ay_ref, cost_ref, *, b, group):
         cost_ref[gi] = colsum.T                            # (4, 4) [yf, xf]
 
 
+def _costmap_kernel_stacked(src_ref, win_ref, bx_ref, ayg_ref, p4_ref,
+                            cost_ref, *, b, rh, group):
+    """Small-block costmaps with ZERO per-tile loops: all G tiles of a
+    grid step ride three stacked matmuls.
+
+      H:  (G*rh, LW) @ BX (LW, 4b)          rows of every tile's window
+      V:  kron(I_G, AY[:, :rh]) @ inter     block-diagonal: (G*4b, G*rh) @
+                                            (G*rh, 4b) — tile g's rows see
+                                            only tile g's intermediate
+      score: |preds - tiled_src| row-sums, then @ kron(I4, ones(b, 1))
+
+    The per-tile formulation (_costmap_kernel) pads every window to 128
+    rows and chains 4b-wide matmuls tile by tile — measured 8.4 ms/frame
+    for the 8160 16x16 tiles of the PU decision; this stacked form is the
+    small-b analogue of _group_body's shared H pass."""
+    G = group
+    m4 = 4 * b
+    win_all = win_ref[...].reshape(G * rh, _LW).astype(jnp.int32)
+    inter = jax.lax.dot_general(
+        win_all.astype(jnp.bfloat16), bx_ref[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    inter = _wrap16(inter)                                 # (G*rh, 4b)
+    hi = (inter >> 8).astype(jnp.int8)
+    lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    ayg = ayg_ref[...]
+    mh = jax.lax.dot_general(ayg, hi, dn, preferred_element_type=jnp.int32)
+    ml = jax.lax.dot_general(ayg, lo, dn, preferred_element_type=jnp.int32)
+    acc = 256 * mh + ml + 128 * 64                         # (G*4b, 4b)
+    preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+
+    diff = jnp.abs(preds - src_ref[...].reshape(G * m4, m4).astype(jnp.int32))
+    rowsum = jnp.sum(diff.reshape(G * 4, b, m4), axis=1)   # (G*4, 4b)
+    # Exact lane reduction: a single f32 matmul rounds here on the MXU
+    # (Mosaic lowers f32 dots through bf16 and rowsums reach 2^16), so the
+    # reduction rides two matmuls over the hi/lo byte split — every
+    # operand is an integer < 256 (exact in bf16) and the f32 accumulation
+    # of sums < 2^24 is exact.
+    p4 = p4_ref[...]
+    dn0 = (((1,), (0,)), ((), ()))
+    chi = jax.lax.dot_general((rowsum >> 8).astype(jnp.bfloat16), p4,
+                              dn0, preferred_element_type=jnp.float32)
+    clo = jax.lax.dot_general(
+        jnp.bitwise_and(rowsum, 255).astype(jnp.bfloat16), p4,
+        dn0, preferred_element_type=jnp.float32)
+    cost = 256 * chi.astype(jnp.int32) + clo.astype(jnp.int32)
+    cost_ref[...] = cost.reshape(G, 4, 4)
+
+
 @jax.jit
 def refine_qpel_costmap(src_blocks: jnp.ndarray, windows: jnp.ndarray):
     """All-16-candidate SAD maps WITHOUT selection or prediction output.
@@ -224,6 +274,44 @@ def refine_qpel_costmap(src_blocks: jnp.ndarray, windows: jnp.ndarray):
     windows = _aligned_windows(windows, b)
     bx, ay = _fir_matrices(b)
     bx = jnp.asarray(bx).astype(jnp.bfloat16)
+    if b <= 32:
+        # Stacked small-block path: b + 8 is a multiple of 8, so the
+        # windows' aligned rows feed the shared H matmul directly.
+        rh = b + 8
+        G = max(1, min(1024 // (4 * b), n))
+        steps = -(-n // G)
+        src_t = jnp.tile(src_blocks, (1, 4, 4))            # (n, 4b, 4b)
+        src_t = _pad_group(src_t, n, steps, G)
+        windows = _pad_group(windows[:, :rh], n, steps, G)
+        ayg = jnp.asarray(
+            np.kron(np.eye(G, dtype=np.int8), np.asarray(ay[:, :rh], np.int8))
+        )
+        p4 = jnp.asarray(np.kron(
+            np.eye(4, dtype=np.float32), np.ones((b, 1), np.float32))
+        ).astype(jnp.bfloat16)
+        kernel = functools.partial(_costmap_kernel_stacked, b=b, rh=rh,
+                                   group=G)
+        cost = pl.pallas_call(
+            kernel,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((G, 4 * b, 4 * b), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, rh, _LW), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_LW, 4 * b), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G * 4 * b, G * rh), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * b, 4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, 4, 4), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((steps * G, 4, 4), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(src_t, windows, bx, ayg, p4)
+        return cost[:n]
     ay = jnp.asarray(ay).astype(jnp.int8)
     G = max(1, min(256 // b, n))
     steps = -(-n // G)
@@ -261,6 +349,170 @@ def _qp_vec(qscale, qshift, qoffset, dscale, dshift) -> jnp.ndarray:
 def _qp_args(qp_ref):
     return dict(qscale=qp_ref[0], qshift=qp_ref[1], qoffset=qp_ref[2],
                 dscale=qp_ref[3], dshift=qp_ref[4])
+
+
+def _costmap_kernel_dma(off_ref, src_ref, plane_ref, bx_ref, ayg_ref,
+                        p4_ref, cost_ref, win_ref, slab_scr, sems, *, b, rh,
+                        sr, group):
+    """_costmap_kernel_stacked with the tile windows pulled by in-kernel
+    slab DMA at scalar-prefetched offsets instead of an XLA gather — the
+    8160-tile gather of the PU refinement measured ~8 ms/frame (vmapped
+    dynamic_slice lowers to a slow row gather); the DMA engine streams the
+    same slabs overlapped with compute (the inter_ctu_fused_dma pattern).
+    Also emits the de-skewed (rh, LW) windows so the caller's chosen-
+    fraction interpolation needs no second fetch."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    G = group
+
+    def dma(step, slot, g):
+        j = step * G + g
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off_ref[j, 0] * 8, sr),
+                         pl.ds(off_ref[j, 1] * _LW, 2 * _LW)],
+            slab_scr.at[slot, g],
+            sems.at[slot, g],
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            dma(i, slot, g).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        for g in range(G):
+            dma(i + 1, 1 - slot, g).start()
+
+    for g in range(G):
+        dma(i, slot, g).wait()
+
+    wins = []
+    for g in range(G):
+        s32 = slab_scr[slot, g].astype(jnp.int32)          # (sr, 256)
+        dy = off_ref[i * G + g, 2]
+        dx = off_ref[i * G + g, 3]
+        s32 = pltpu.roll(s32, (sr - dy) % sr, axis=0)
+        s32 = pltpu.roll(s32, (2 * _LW - dx) % (2 * _LW), axis=1)
+        wins.append(s32[:rh, :_LW])
+    win_all = jnp.concatenate(wins, axis=0)                # (G*rh, LW)
+    for g in range(G):
+        win_ref[g] = win_all[g * rh : (g + 1) * rh].astype(jnp.uint8)
+
+    inter = jax.lax.dot_general(
+        win_all.astype(jnp.bfloat16), bx_ref[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    inter = _wrap16(inter)
+    hi = (inter >> 8).astype(jnp.int8)
+    lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    ayg = ayg_ref[...]
+    m4 = 4 * b
+    mh = jax.lax.dot_general(ayg, hi, dn, preferred_element_type=jnp.int32)
+    ml = jax.lax.dot_general(ayg, lo, dn, preferred_element_type=jnp.int32)
+    acc = 256 * mh + ml + 128 * 64
+    preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+    diff = jnp.abs(preds - src_ref[...].reshape(G * m4, m4).astype(jnp.int32))
+    rowsum = jnp.sum(diff.reshape(G * 4, b, m4), axis=1)   # (G*4, 4b)
+    # Exact lane reduction: a single f32 matmul rounds here on the MXU
+    # (Mosaic lowers f32 dots through bf16 and rowsums reach 2^16), so the
+    # reduction rides two matmuls over the hi/lo byte split — every
+    # operand is an integer < 256 (exact in bf16) and the f32 accumulation
+    # of sums < 2^24 is exact.
+    p4 = p4_ref[...]
+    dn0 = (((1,), (0,)), ((), ()))
+    chi = jax.lax.dot_general((rowsum >> 8).astype(jnp.bfloat16), p4,
+                              dn0, preferred_element_type=jnp.float32)
+    clo = jax.lax.dot_general(
+        jnp.bitwise_and(rowsum, 255).astype(jnp.bfloat16), p4,
+        dn0, preferred_element_type=jnp.float32)
+    cost = 256 * chi.astype(jnp.int32) + clo.astype(jnp.int32)
+    cost_ref[...] = cost.reshape(G, 4, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def refine_qpel_costmap_dma(src_blocks, plane, offsets, group: int | None = None):
+    """Small-block cost maps with in-kernel window DMA.
+
+    src_blocks (n, b, b) uint8 (b <= 32); plane (Hp, Wp) uint8; offsets
+    (n, 2) int32 window top-left coords (each used (b+7, b+7) window must
+    lie in the plane).  Returns (cost (n, 4, 4) int32 [yf, xf], windows
+    (n, b+8, 128) uint8 de-skewed slabs — rows/cols beyond (b+7, b+7) are
+    in-plane neighbours, inert for FIR consumers).  cost is bit-exact with
+    refine_qpel_costmap on gathered windows."""
+    n, b, _ = src_blocks.shape
+    assert b <= 32 and b % 8 == 0
+    if n > 1536:
+        # The scalar-prefetch offsets live in SMEM; very large tile counts
+        # exceed its capacity (n = 2048 failed to compile, 1536 fine).
+        # Chunked calls keep each prefetch table small; the chunks still
+        # pipeline internally.
+        outs = [refine_qpel_costmap_dma(src_blocks[i : i + 1536],
+                                        plane, offsets[i : i + 1536],
+                                        group=group)
+                for i in range(0, n, 1536)]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+    rh = b + 8
+    sr = -(-(rh + 7) // 8) * 8  # slab rows: de-skew reach y%8 + rh
+    hp, wp = plane.shape
+    pad_c = 2 * _LW + (-(wp + 2 * _LW) % _LW)
+    plane = jnp.pad(plane, ((0, sr), (0, pad_c)))
+    G = group or max(1, min(1024 // (4 * b), n))
+    steps = -(-n // G)
+    src_t = _pad_group(jnp.tile(src_blocks, (1, 4, 4)), n, steps, G)
+    offsets = _pad_group(offsets, n, steps, G)
+    y, x = offsets[:, 0], offsets[:, 1]
+    off = jnp.stack([y // 8, x // _LW, y % 8, x % _LW], axis=-1)
+    bx, ay = _fir_matrices(b)
+    ayg = jnp.asarray(
+        np.kron(np.eye(G, dtype=np.int8), np.asarray(ay[:, :rh], np.int8)))
+    p4 = jnp.asarray(np.kron(
+        np.eye(4, dtype=np.float32), np.ones((b, 1), np.float32))
+    ).astype(jnp.bfloat16)
+    kernel = functools.partial(_costmap_kernel_dma, b=b, rh=rh, sr=sr,
+                               group=G)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, 4 * b, 4 * b), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_LW, 4 * b), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 4 * b, G * rh), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, 4), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, 4, 4), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, rh, _LW), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, sr, 2 * _LW), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    cost, win = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((steps * G, 4, 4), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, rh, _LW), jnp.uint8),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(off, src_t, plane, jnp.asarray(bx).astype(jnp.bfloat16), ayg, p4)
+    return cost[:n], win[:n]
 
 
 def _inter_kernel(src_ref, win_ref, bx_ref, ay_ref, bd_ref, pool_ref,

@@ -383,6 +383,13 @@ def ssd_grid(src: jnp.ndarray, window: jnp.ndarray, num_dy: int, num_dx: int,
         stack = "double"  # packed build requires the s8 path and b % 4 == 0
     wh, ww = b + num_dy - 1, b + num_dx - 1
     assert wh <= _LW and ww <= _LW, "window must fit the fixed 128-lane slab"
+    if window.shape[2] > ww:
+        # Lane-aligned slabs wider than the logical window are accepted
+        # as-is (up to the 128-lane slab): every energy/correlation read
+        # stays below column b + num_dx - 1, so the extra columns are
+        # inert whatever they contain — callers can then feed full-tile
+        # aligned gathers instead of masked partial-lane DMAs.
+        ww = min(window.shape[2], _LW)
     window = window[:, :wh, :ww]
     if chunks > 1 and not (
         mm == "int8" and b % chunks == 0 and (b // chunks) % 8 == 0
@@ -633,6 +640,149 @@ def search_mv(src: jnp.ndarray, windows: jnp.ndarray, num: int,
     )(src, windows, jnp.asarray(_band_ones(b)))
     out = out[:n, 0]
     return out[:, 0:2], out[:, 2]
+
+
+def _base_grids_kernel(src_ref, win_ref, band_ref, sq_ref, out_ref, *,
+                       base, num, group):
+    """ALL k*k sub-block SSD grids of a CTU from ONE resident window.
+
+    The PU decision needs exact (2R+1)^2 grids at base granularity
+    (8/16/32); calling ssd_grid per sub-block re-gathers overlapping
+    (base+2R)^2 windows (a ~52 MB slab stack at 1080p/16) and recomputes
+    the window energy k^2 times.  Here each grid step loads the CTU's
+    source and its single (128, 128) search window once:
+
+      * window energy: ONE _energy_mxu box map per CTU at base size —
+        sub-block (i, j)'s energy grid is the map shifted by (base*j,
+        base*i) (two packed rolls), since all sub-windows share the plane.
+      * per sub-block: the centered window rolls to put the sub-window at
+        the origin (packed bitcast rolls, 4 rows per int32 element); the
+        sub-source is the rolled+masked source row block; then the same
+        chunked rolled-stack matmul + band tree as _kernel_chunked.  The
+        roll wrap garbage always lands at rows/cols >= 128 - base*(k-1) =
+        base + 2R - ... beyond every read (reads stay < base + 2R - base
+        + h of the origin).
+
+    Geometry: 64x64 CTUs with 64 + 2R == 128 (the headline +-32 range),
+    base in {8, 16, 32}; h = 8 rows per chunk, Q = base/8 chunks.
+    """
+    k = 64 // base
+    Q = max(1, base // 8)
+    h = 8
+    for gi in range(group):
+        win_u8 = win_ref[gi]                              # (128, 128)
+        w32 = win_u8.astype(jnp.int32) - 128
+        box = _energy_mxu(w32, band_ref[...], base)       # [dx, dy]
+        pw = pltpu.bitcast(
+            pltpu.bitcast(win_u8 ^ jnp.uint8(128), jnp.int8), jnp.int32
+        )                                                 # (32, 128) packed
+        src_u8 = src_ref[gi]                              # (64, 128)
+        ps = pltpu.bitcast(
+            pltpu.bitcast(src_u8 ^ jnp.uint8(128), jnp.int8), jnp.int32
+        )                                                 # (16, 128) packed
+        lane = jax.lax.broadcasted_iota(jnp.int32, (16, _LW), 1)
+
+        for i in range(k):
+            for j in range(k):
+                pws = pw
+                if j:
+                    pws = pltpu.roll(pws, _LW - base * j, axis=1)
+                if i:
+                    pws = pltpu.roll(pws, 32 - base * i // 4, axis=0)
+                rhs = pltpu.bitcast(
+                    jnp.concatenate(
+                        [pws if q == 0 else
+                         pltpu.roll(pws, 32 - q * h // 4, axis=0)
+                         for q in range(Q)],
+                        axis=1,
+                    ),
+                    jnp.int8,
+                )                                         # (128, Q*128)
+                pss = ps
+                if j:
+                    pss = pltpu.roll(pss, _LW - base * j, axis=1)
+                if i:
+                    pss = pltpu.roll(pss, 16 - base * i // 4, axis=0)
+                pss = jnp.where(lane < base, pss, 0)
+                # Chunk q = packed rows [2q, 2q+2): roll-to-origin + offset-0
+                # slice (offset sublane slices feeding a lane concat are
+                # rejected by Mosaic).
+                srcw = jnp.concatenate(
+                    [(pss if q == 0 else
+                      pltpu.roll(pss, 16 - q * h // 4, axis=0))[0:2]
+                     for q in range(Q)],
+                    axis=1,
+                )                                         # (2, Q*128)
+                stk = srcw
+                m = 1
+                while m < num:
+                    take = min(m, num - m)
+                    ext = pltpu.roll(stk[: take * 2], m, axis=1)
+                    stk = jnp.concatenate([stk, ext], axis=0)
+                    m += take
+                stk8 = pltpu.bitcast(stk, jnp.int8)       # (num*8, Q*128)
+                g = jax.lax.dot_general(
+                    stk8, rhs, _DN1, preferred_element_type=jnp.int32)
+                corr = _band_tree(g, h, num, num, _LW)
+                ey = box
+                if j:
+                    ey = pltpu.roll(ey, _LW - base * j, axis=0)
+                if i:
+                    ey = pltpu.roll(ey, _LW - base * i, axis=1)
+                # srcsq arrives per sub-block as a (1, 1) VMEM read that
+                # broadcasts — Mosaic mis-lowered a scalar [i, j] extract
+                # from an in-kernel (k, k) value at i > 0 (wrong element),
+                # so the sums are computed in XLA instead.
+                out_ref[gi, i * k + j] = (
+                    sq_ref[gi, i * k + j] + ey[:num, :num] - 2 * corr)
+
+
+@functools.partial(jax.jit, static_argnames=("base", "group"))
+def base_grids_ctu(src_ctus: jnp.ndarray, windows: jnp.ndarray, base: int,
+                   group: int = 2):
+    """src_ctus (n, 64, 64) uint8, windows (n, 128, 128) uint8 CTU search
+    windows (the 64 + 2R == 128 geometry) -> (n, k, k, num, num) int32
+    exact SSD grids of every (base x base) sub-block, bit-exact with
+    per-sub-block ssd_grid calls (tests/test_search_pallas.py)."""
+    n, b, _ = src_ctus.shape
+    assert b == 64 and windows.shape[-1] == _LW and windows.shape[-2] == _LW
+    assert base in (8, 16, 32)
+    k = 64 // base
+    num = _LW - b + 1                                     # 65
+    G = min(group, n)
+    steps = -(-n // G)
+    pad = steps * G - n
+    if pad:
+        src_ctus = jnp.pad(src_ctus, ((0, pad), (0, 0), (0, 0)))
+        windows = jnp.pad(windows, ((0, pad), (0, 0), (0, 0)))
+    src_w = jnp.pad(src_ctus, ((0, 0), (0, 0), (0, _LW - b)),
+                    constant_values=128)
+    si = src_ctus.astype(jnp.int32) - 128
+    sq = (si * si).reshape(-1, k, base, k, base).sum(axis=(2, 4))
+    sq = sq.reshape(-1, k * k, 1, 1)                      # (N, k*k, 1, 1)
+    kernel = functools.partial(_base_grids_kernel, base=base, num=num,
+                               group=G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, _LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, _LW, _LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, _LW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k * k, 1, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, k * k, num, num), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * G, k * k, num, num),
+                                       jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(src_w, windows, jnp.asarray(_band_ones(base)), sq)
+    # kernel emits [dx, dy]; the ssd_grid contract is [dy, dx]
+    return jnp.swapaxes(out[:n].reshape(n, k, k, num, num), -1, -2)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,26 @@ def test_multihost_initialize_idempotent():
 
     initialize()
     initialize()  # second call must not raise
+
+
+@pytest.mark.parametrize("impl", ["fused_batched", "fused_dma"])
+def test_spatial_sharding_fast_tier_bit_exact(rng, impl):
+    """The band step honors cfg.inter_impl: the fused Pallas kernels run
+    PER BAND inside shard_map (each band owns its haloed plane) and the
+    result equals both the single-chip fast path and the staged band path
+    bit-exactly (VERDICT r3 #4)."""
+    h, w = 256, 128
+    cur = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    ref = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    cfg = EncodeConfig(search_range=4, qp=32, inter_impl=impl)
+    mesh = make_mesh(frames=1, rows=2, devices=jax.devices()[:2])
+    sh = NamedSharding(mesh, P("rows", None))
+    out = encode_inter_frame_spatial(
+        jax.device_put(cur, sh), jax.device_put(ref, sh), mesh, cfg
+    )
+    single = encode_inter_frame(cur, ref, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(out["recon"]), np.asarray(single["recon"]))
+    staged = encode_inter_frame(cur, ref, EncodeConfig(search_range=4, qp=32))
+    np.testing.assert_array_equal(
+        np.asarray(out["recon"]), np.asarray(staged["recon"]))

@@ -65,3 +65,30 @@ def test_ssd_grid_chunked(rng, chunks):
             search_pallas.ssd_grid(src, win, ndy, ndx, chunks=chunks)
         )
         assert np.array_equal(got, ref), (b, ndy, ndx, chunks)
+
+
+def test_base_grids_ctu_matches_per_block(rng):
+    """The per-CTU base-grids kernel (shared window + shared energy box +
+    masked sub-stacks) == independent per-sub-block ssd_grid calls, for
+    every base size.  Guards the Mosaic scalar-extract regression (an
+    in-kernel (k, k)[i, j] read returned the wrong element on TPU; srcsq
+    now arrives as a per-sub-block (1, 1) input)."""
+    import jax.numpy as jnp
+
+    from hevcasm_tpu.encode import ctu as ctu_mod
+    from hevcasm_tpu.kernels.search_pallas import base_grids_ctu
+
+    n, r = 2, 32
+    src = jnp.asarray(rng.integers(0, 256, (n, 64, 64), dtype=np.uint8))
+    win = jnp.asarray(rng.integers(0, 256, (n, 128, 128), dtype=np.uint8))
+    for base in (8, 16, 32):
+        k = 64 // base
+        got = np.asarray(base_grids_ctu(src, win, base))
+        srcb = ctu_mod.split_blocks(src, base)
+        wsub = base + 2 * r
+        slabs = [win[:, base * i : base * i + wsub, base * j : base * j + wsub]
+                 for i in range(k) for j in range(k)]
+        winb = jnp.stack(slabs, axis=1).reshape(n * k * k, wsub, wsub)
+        want = np.asarray(
+            xla_opt.ssd_grid(srcb, winb, 65, 65)).reshape(n, k, k, 65, 65)
+        assert np.array_equal(got, want), f"base={base}"

@@ -93,3 +93,65 @@ def test_closed_loop_gop(rng):
     # closed-loop quality should not collapse over the chain
     psnrs = np.asarray(out["psnr_db"])
     assert psnrs.min() > 35.0
+
+
+def test_inter_frame_yuv_fused_matches_staged(rng):
+    """The YUV P frame's luma rides cfg.inter_impl: fused kernels (incl.
+    the DMA variant) are bit-exact with the staged composition across all
+    three planes (chroma MC keys off identical luma MVs)."""
+    clip = _yuv_clip(rng, 2, 128, 192)
+    cur = YuvFrame(clip.y[1], clip.cb[1], clip.cr[1])
+    ref = YuvFrame(clip.y[0], clip.cb[0], clip.cr[0])
+    base = encode_inter_frame_yuv(cur, ref, EncodeConfig(search_range=8, qp=27))
+    for impl in ("fused_batched", "fused_dma"):
+        got = encode_inter_frame_yuv(
+            cur, ref, EncodeConfig(search_range=8, qp=27, inter_impl=impl))
+        for plane in ("y", "cb", "cr"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base["recon"], plane)),
+                np.asarray(getattr(got["recon"], plane)), err_msg=impl)
+
+
+def test_closed_loop_gop_yuv(rng):
+    """Closed-loop YUV GOP == the per-frame chain on reconstructions,
+    bit-exact, and conforming quality over the chain."""
+    import jax
+
+    from hevcasm_tpu.encode.video import (
+        encode_gop_closed_loop_yuv, encode_intra_frame_yuv)
+    from hevcasm_tpu.encode.intra_wavefront import encode_intra_frame_wavefront
+    from hevcasm_tpu.encode.video import _chroma_cfg, _residual_pipeline
+
+    clip = _yuv_clip(rng, 4, 128, 128)
+    cfg = EncodeConfig(search_range=8, qp=27)
+    out = encode_gop_closed_loop_yuv(clip, cfg)
+    assert out["recon"].y.shape == clip.y.shape
+    assert out["recon"].cb.shape == clip.cb.shape
+    assert np.asarray(out["psnr_y"])[1:].min() > 35.0
+
+    # Reference chain: wavefront-intra seed + per-frame closed-loop calls.
+    from hevcasm_tpu.encode import ctu as ctu_mod
+    import jax.numpy as jnp
+
+    intra_y = encode_intra_frame_wavefront(clip.y[0], cfg)
+
+    def chroma_intra(plane):
+        ccfg = _chroma_cfg(cfg)
+        blocks = ctu_mod.tile_frame(plane, ccfg.ctu)
+        dc = jnp.mean(blocks.astype(jnp.float32), axis=(-2, -1))
+        pred = jnp.broadcast_to(
+            jnp.round(dc).astype(jnp.uint8)[:, None, None], blocks.shape)
+        rec, _, _ = _residual_pipeline(blocks, pred, ccfg, intra=True, luma=False)
+        return ctu_mod.untile_frame(rec, *plane.shape)
+
+    prev = YuvFrame(intra_y["recon"], chroma_intra(clip.cb[0]),
+                    chroma_intra(clip.cr[0]))
+    np.testing.assert_array_equal(np.asarray(out["recon"].y[0]), np.asarray(prev.y))
+    for t in range(1, 4):
+        step = encode_inter_frame_yuv(
+            YuvFrame(clip.y[t], clip.cb[t], clip.cr[t]), prev, cfg)
+        prev = step["recon"]
+        for plane in ("y", "cb", "cr"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out["recon"], plane)[t]),
+                np.asarray(getattr(prev, plane)), err_msg=f"t={t} {plane}")

@@ -100,24 +100,27 @@ def run(src, win, band, *, num, chunks, group, skip):
 
 
 def main():
-    b, r = 64, 32
+    import sys as _s
+    b = int(_s.argv[1]) if len(_s.argv) > 1 else 64
+    r = 32
     num = 2 * r + 1
-    n = 510
+    n = 510 * (64 // b) ** 2
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(0, 256, (n, b, b), dtype=np.uint8))
     win = jnp.asarray(
         rng.integers(0, 256, (n, b + num - 1, b + num - 1), dtype=np.uint8))
     band = jnp.asarray(_band_ones(b))
-    for group in (2, 3, 4, 6):
-        f = jax.jit(functools.partial(run, num=num, chunks=8, group=group,
+    chunks = max(2, b // 8)
+    for group in (2, 4, 8, 16):
+        f = jax.jit(functools.partial(run, num=num, chunks=chunks, group=group,
                                       skip=()))
         jax.block_until_ready(f(src, win, band))
         t = timed(f, src, win, band, iters=40)
         print(f"full kernel      group={group}: {t*1e3:.3f} ms", flush=True)
     for skip in (("energy",), ("stack",), ("rhs",), ("band",), ("mm",),
                  ("stack", "rhs", "mm", "energy", "band")):
-        f = jax.jit(functools.partial(run, num=num, chunks=8, group=2,
-                                      skip=skip))
+        f = jax.jit(functools.partial(run, num=num, chunks=chunks,
+                                      group=max(2, 128 // b), skip=skip))
         jax.block_until_ready(f(src, win, band))
         t = timed(f, src, win, band, iters=40)
         print(f"skip {','.join(skip):28s}: {t*1e3:.3f} ms", flush=True)
