@@ -247,20 +247,39 @@ def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
     pmax = max(len(PU_LAYOUTS[name]) for name in layouts)
 
     if grid is not None and 64 + 2 * r == 128 and metric == "ssd":
-        # One-kernel base grids: each CTU's k*k sub-block grids from its
-        # single resident (128, 128) window with a shared energy box map
-        # (kernels/search_pallas.base_grids_ctu) — no per-sub-block window
-        # slab stack, no repeated energy.
-        from ..kernels.search_pallas import base_grids_ctu
+        # Decide-in-kernel: each CTU's k*k sub-block grids come from ONE
+        # resident (128, 128) window with a shared energy box map, are
+        # aggregated into every layout's PU grids, and argmin'd — all in
+        # VMEM (kernels/search_pallas.base_layout_decide).  Neither the
+        # per-sub-block window slabs nor the grids/integral ever reach HBM.
+        from ..kernels.search_pallas import base_layout_decide
 
         win_ctu = motion.extract_aligned_windows(
             ref_padded, (motion.PAD_L, motion.PAD_L), grid, 64, 128)
-        g = base_grids_ctu(src_ctus, win_ctu, base)
+        pu_lists = []
+        for name in layouts:
+            for (y0, x0, hh, ww) in PU_LAYOUTS[name]:
+                pu_lists.append(tuple(
+                    ti * k + tj
+                    for ti in range(y0 // base, (y0 + hh) // base)
+                    for tj in range(x0 // base, (x0 + ww) // base)))
+        pu_lists.append(tuple(range(m)))         # whole-CTU grid (best64)
+        dec = base_layout_decide(src_ctus, win_ctu, base, tuple(pu_lists))
+        costs_l, mvs = [], {}
+        o = 0
+        for name in layouts:
+            P = len(PU_LAYOUTS[name])
+            seg = dec[:, o : o + P]
+            o += P
+            mvs[name] = seg[:, :, :2]
+            costs_l.append(jnp.sum(seg[:, :, 2], axis=1) + lam * P)
+        costs = jnp.stack(costs_l, axis=-1)
+        best64 = dec[:, -1, 2]
     else:
         g = base_grid_search(src_ctus, windows, r, grid_fn, base)
-    gint = grid_integral(g)
-    costs, mvs = layout_decision(gint, layouts, r, lam, base)
-    _, best64 = _argmin_grid(rect_grid(gint, (0, 0, 64, 64), base), r)
+        gint = grid_integral(g)
+        costs, mvs = layout_decision(gint, layouts, r, lam, base)
+        _, best64 = _argmin_grid(rect_grid(gint, (0, 0, 64, 64), base), r)
     choice = jnp.argmin(costs, axis=-1).astype(jnp.int32)
 
     # Per-tile PU index and integer MV of the CHOSEN layout only.

@@ -642,8 +642,36 @@ def search_mv(src: jnp.ndarray, windows: jnp.ndarray, num: int,
     return out[:, 0:2], out[:, 2]
 
 
-def _base_grids_kernel(src_ref, win_ref, band_ref, sq_ref, out_ref, *,
-                       base, num, group):
+def _band_sel(h: int, num: int) -> np.ndarray:
+    """(h*LW, LW) int8 0/1: column dy selects the (y, y + dy) diagonal
+    pairs, so corr = G.reshape(num_dx, h*LW) @ B computes the whole band
+    on the MXU instead of the log2(h) roll tree."""
+    m = np.zeros((h * _LW, _LW), np.int8)
+    for y in range(h):
+        for dy in range(min(num, _LW - y)):
+            m[y * _LW + y + dy, dy] = 1
+    return m
+
+
+def _band_mxu(g: jnp.ndarray, h: int, num_dx: int, bsel) -> jnp.ndarray:
+    """corr[dx, dy] = sum_y g[dx*h + y, y + dy] as THREE exact int8
+    matmuls over the byte split of g (|g| < 2^22; the +-128 centering of
+    the low bytes folds into a constant because every bsel column has
+    exactly h ones).  The roll tree (_band_tree) moves ~2x the g matrix
+    through cross-lane rotates; this trades that for MXU work."""
+    g2 = g.reshape(num_dx, h * _LW)
+    hi = (g2 >> 16).astype(jnp.int8)                      # in [-33, 32]
+    mid = (jnp.bitwise_and(g2 >> 8, 255) - 128).astype(jnp.int8)
+    lo = (jnp.bitwise_and(g2, 255) - 128).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    c2 = jax.lax.dot_general(hi, bsel, dn, preferred_element_type=jnp.int32)
+    c1 = jax.lax.dot_general(mid, bsel, dn, preferred_element_type=jnp.int32)
+    c0 = jax.lax.dot_general(lo, bsel, dn, preferred_element_type=jnp.int32)
+    return (c2 << 16) + ((c1 + 128 * h) << 8) + (c0 + 128 * h)
+
+
+def _base_grids_kernel(src_ref, win_ref, band_ref, bsel_ref, sq_ref,
+                       out_ref, *, base, num, group, pu_lists=None):
     """ALL k*k sub-block SSD grids of a CTU from ONE resident window.
 
     The PU decision needs exact (2R+1)^2 grids at base granularity
@@ -670,6 +698,7 @@ def _base_grids_kernel(src_ref, win_ref, band_ref, sq_ref, out_ref, *,
     Q = max(1, base // 8)
     h = 8
     for gi in range(group):
+        grids = []
         win_u8 = win_ref[gi]                              # (128, 128)
         w32 = win_u8.astype(jnp.int32) - 128
         box = _energy_mxu(w32, band_ref[...], base)       # [dx, dy]
@@ -723,7 +752,7 @@ def _base_grids_kernel(src_ref, win_ref, band_ref, sq_ref, out_ref, *,
                 stk8 = pltpu.bitcast(stk, jnp.int8)       # (num*8, Q*128)
                 g = jax.lax.dot_general(
                     stk8, rhs, _DN1, preferred_element_type=jnp.int32)
-                corr = _band_tree(g, h, num, num, _LW)
+                corr = _band_mxu(g, h, num, bsel_ref[...])[:, :num]
                 ey = box
                 if j:
                     ey = pltpu.roll(ey, _LW - base * j, axis=0)
@@ -733,8 +762,77 @@ def _base_grids_kernel(src_ref, win_ref, band_ref, sq_ref, out_ref, *,
                 # broadcasts — Mosaic mis-lowered a scalar [i, j] extract
                 # from an in-kernel (k, k) value at i > 0 (wrong element),
                 # so the sums are computed in XLA instead.
-                out_ref[gi, i * k + j] = (
-                    sq_ref[gi, i * k + j] + ey[:num, :num] - 2 * corr)
+                ssd = sq_ref[gi, i * k + j] + ey[:num, :num] - 2 * corr
+                if pu_lists is None:
+                    out_ref[gi, i * k + j] = ssd
+                else:
+                    grids.append(ssd)
+        if pu_lists is not None:
+            # Decide-in-kernel mode: aggregate the resident sub-grids into
+            # every layout's PU grids (integer adds) and argmin each —
+            # neither the (k*k, num, num) grids nor their integral image
+            # ever touch HBM; the output is one (1, 8) [dy, dx, best] lane
+            # vector per PU.
+            for p_idx, subs in enumerate(pu_lists):
+                pu = grids[subs[0]]
+                for t in subs[1:]:
+                    pu = pu + grids[t]
+                out_ref[gi, p_idx] = _argmin_mv(pu, num)
+
+
+@functools.partial(jax.jit, static_argnames=("base", "group", "pu_lists"))
+def base_layout_decide(src_ctus: jnp.ndarray, windows: jnp.ndarray,
+                       base: int, pu_lists, group: int = 2):
+    """base_grids_ctu's decide-in-kernel mode: per CTU, aggregate the
+    resident sub-block grids into every layout's PU grids and argmin each
+    — the (n, k, k, num, num) grids (135 MB at 1080p/16), their integral
+    image, and the per-rect slice+argmin XLA passes all disappear.
+
+    pu_lists: tuple of tuples — each PU as the tuple of its sub-block
+    indices (i * k + j) in the shared base tiling.  Returns
+    (n, len(pu_lists), 3) int32 [dy, dx, best] per PU, bit-exact with the
+    integral-image path (tests/test_partition.py)."""
+    n, b, _ = src_ctus.shape
+    assert b == 64 and windows.shape[-1] == _LW and windows.shape[-2] == _LW
+    assert base in (8, 16, 32)
+    k = 64 // base
+    num = _LW - b + 1
+    P = len(pu_lists)
+    G = min(group, n)
+    steps = -(-n // G)
+    pad = steps * G - n
+    if pad:
+        src_ctus = jnp.pad(src_ctus, ((0, pad), (0, 0), (0, 0)))
+        windows = jnp.pad(windows, ((0, pad), (0, 0), (0, 0)))
+    src_w = jnp.pad(src_ctus, ((0, 0), (0, 0), (0, _LW - b)),
+                    constant_values=128)
+    si = src_ctus.astype(jnp.int32) - 128
+    sq = (si * si).reshape(-1, k, base, k, base).sum(axis=(2, 4))
+    sq = sq.reshape(-1, k * k, 1, 1)
+    kernel = functools.partial(_base_grids_kernel, base=base, num=num,
+                               group=G, pu_lists=pu_lists)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, _LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, _LW, _LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, _LW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * _LW, _LW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k * k, 1, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, P, 1, 8), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * G, P, 1, 8), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(src_w, windows, jnp.asarray(_band_ones(base)),
+      jnp.asarray(_band_sel(8, num)), sq)
+    return out[:n, :, 0, :3]
 
 
 @functools.partial(jax.jit, static_argnames=("base", "group"))
@@ -772,6 +870,8 @@ def base_grids_ctu(src_ctus: jnp.ndarray, windows: jnp.ndarray, base: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_LW, _LW), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * _LW, _LW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((G, k * k, 1, 1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -780,7 +880,8 @@ def base_grids_ctu(src_ctus: jnp.ndarray, windows: jnp.ndarray, base: int,
         out_shape=jax.ShapeDtypeStruct((steps * G, k * k, num, num),
                                        jnp.int32),
         interpret=jax.default_backend() != "tpu",
-    )(src_w, windows, jnp.asarray(_band_ones(base)), sq)
+    )(src_w, windows, jnp.asarray(_band_ones(base)),
+      jnp.asarray(_band_sel(8, num)), sq)
     # kernel emits [dx, dy]; the ssd_grid contract is [dy, dx]
     return jnp.swapaxes(out[:n].reshape(n, k, k, num, num), -1, -2)
 

@@ -206,3 +206,30 @@ def test_pruned_pu_selection_matches_full(frames, layouts):
     assert np.array_equal(np.asarray(pred_f), np.asarray(pred_p))
     k = 64 // partition.base_for(layouts)
     assert mv_tiles.shape == (src.shape[0], k, k, 2)
+
+
+@pytest.mark.parametrize("layouts", [
+    ("2Nx2N", "2NxN", "Nx2N", "NxN", "quarter"),
+    ("2Nx2N", "NxN", "eighth"),
+])
+def test_decide_in_kernel_matches_integral_path(rng, layouts):
+    """The +-32 decide-in-kernel path (base_layout_decide: per-CTU grids,
+    PU aggregation, and argmin all in VMEM) == the integral-image path,
+    bit-exactly, for every output."""
+    h, w, r = 128, 192, 32
+    base = rng.integers(0, 256, (h + 80, w + 80), dtype=np.uint8)
+    cur = base[5 : 5 + h, 7 : 7 + w]
+    ref = base[:h, :w]
+    gr, gc = h // 64, w // 64
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), r + 3, r + 4, r + 3, r + 4)
+    pos = motion.ctu_positions(gr, gc, 64)
+    win = motion.extract_windows(rp, pos + 3, 64 + 2 * r)
+    lam = partition.mv_lambda(32)
+
+    a = partition.select_pu_layout_pruned(
+        src, rp, pos, win, r, lam, layouts, ssd_grid)
+    b = partition.select_pu_layout_pruned(
+        src, rp, pos, win, r, lam, layouts, ssd_grid, grid=(gr, gc))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
