@@ -147,10 +147,78 @@ def measure():
     # Two-length difference cancels the fixed per-dispatch cost exactly.
     t_short = best_of(short_chain)
     frame_s = (t_long - t_short) / (iters_long - iters_short)
-    floor_ms = (t_long - frame_s * iters_long) * 1e3
-    log(f"dispatch floor: {floor_ms:.1f} ms (two-length difference)")
+    floor_s = t_long - frame_s * iters_long
+    log(f"dispatch floor: {floor_s * 1e3:.1f} ms (two-length difference)")
     if frame_s > 0:
         emit(frame_s, "final, floor cancelled")
+
+    # ---- secondary configs (diagnostics, stderr JSON; the driver's one
+    # stdout line stays the headline).  Structured pan content so PSNR/nnz
+    # mean something (VERDICT r3 #5 'real-content measurement'), the RDO
+    # decision config, and the full 4:2:0 frame.  The measured dispatch
+    # floor from the headline chains is subtracted from single chains.
+    def measure_cfg(name, fn, cur0, ref0, iters=30, extra=()):
+        @jax.jit
+        def chain(c, r0):
+            def f(i, rr):
+                return fn(c, rr)
+
+            rr = jax.lax.fori_loop(0, iters, f, r0)
+            return jnp.sum(rr.astype(jnp.uint32))
+
+        int(chain(cur0, ref0))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            int(chain(cur0, ref0))
+            best = min(best, time.perf_counter() - t0)
+        fs = max((best - floor_s) / iters, 1e-9)
+        rec = {"config": name, "ms_per_frame": round(fs * 1e3, 3),
+               "fps_1080p": round(1 / fs, 1)}
+        rec.update(extra)
+        log(json.dumps(rec))
+
+    smooth = base.astype(np.float32)
+    for _ in range(2):
+        smooth = (np.roll(smooth, 1, 0) + smooth + np.roll(smooth, -1, 0)) / 3
+        smooth = (np.roll(smooth, 1, 1) + smooth + np.roll(smooth, -1, 1)) / 3
+    pan = np.clip(smooth, 0, 255).astype(np.uint8)
+    sref = jnp.asarray(pan[:h, :w])
+    scur = np.empty((h, w), np.uint8)
+    scur[: h // 2] = pan[3 : 3 + h // 2, 2 : 2 + w]
+    scur[h // 2 :] = pan[h // 2 - 5 : h - 5, 61 : 61 + w]
+    scur = jnp.asarray(scur)
+
+    sout = encode_inter_frame(scur, sref, cfg)
+    measure_cfg(
+        "structured_pan_fused_dma",
+        lambda c, r: encode_inter_frame(c, r, cfg)["recon"], scur, sref,
+        extra={"psnr_db": round(float(sout["psnr_db"]), 2),
+               "nnz": int(sout["nnz"])},
+    )
+
+    rdo_cfg = EncodeConfig(search_range=32, qp=32, pu_decision=True)
+    rout = encode_inter_frame(scur, sref, rdo_cfg)
+    measure_cfg(
+        "structured_pan_rdo_pu",
+        lambda c, r: encode_inter_frame(c, r, rdo_cfg)["recon"], scur, sref,
+        iters=10,
+        extra={"psnr_db": round(float(rout["psnr_db"]), 2)},
+    )
+
+    from hevcasm_tpu.encode.video import YuvFrame, encode_inter_frame_yuv
+
+    cb0 = jnp.asarray(pan[: h // 2, : w // 2])
+    cb1 = jnp.asarray(pan[1 : 1 + h // 2, 2 : 2 + w // 2])
+    yout = encode_inter_frame_yuv(
+        YuvFrame(scur, cb1, cb1), YuvFrame(sref, cb0, cb0), cfg)
+    measure_cfg(
+        "yuv420_fused_dma",
+        lambda c, r: encode_inter_frame_yuv(
+            YuvFrame(c, cb1, cb1), YuvFrame(r, cb0, cb0), cfg)["recon"].y,
+        scur, sref,
+        extra={"psnr_y": round(float(yout["psnr_y"]), 2)},
+    )
 
 
 def main():
@@ -170,7 +238,7 @@ def main():
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 stdout=subprocess.PIPE,
-                timeout=480,
+                timeout=560,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             out = proc.stdout or b""

@@ -32,6 +32,7 @@ def _cmd_selftest(args):
         time_it=not args.no_time,
         suites=suites,
         json_path=getattr(args, "json", None),
+        converged=getattr(args, "converged", False),
     )
 
 
@@ -169,6 +170,9 @@ def main(argv=None):
     st.add_argument("--tiers", help="comma list: ref,jit,pallas (default all)")
     st.add_argument("--suites", help="comma list of suite names (default all)")
     st.add_argument("--no-time", action="store_true")
+    st.add_argument("--converged", action="store_true",
+                    help="converging-averager timing (reference "
+                         "hevcasm_test.c semantics) instead of best-of-k")
     st.add_argument("--json", help="write structured results to this path ('-' = stdout)")
 
     enc = sub.add_parser("encode", help="encode a .y4m/.yuv clip or a synthetic GOP")
@@ -190,7 +194,8 @@ def main(argv=None):
         return _cmd_encode(args)
     if args.cmd == "selftest" or args.cmd is None:
         if args.cmd is None:
-            args = argparse.Namespace(tiers=None, no_time=False, json=None)
+            args = argparse.Namespace(tiers=None, no_time=False, json=None,
+                                      converged=False)
         return _cmd_selftest(args)
     p.print_help()
     return 2

@@ -241,7 +241,7 @@ def _residual_pipeline(src_blocks, pred_blocks, cfg: EncodeConfig, intra: bool, 
     if cfg.residual_impl == "mxu":
         from ..kernels.xla_opt import residual_pipeline_frame
 
-        rec, nnz, cbf = residual_pipeline_frame(
+        rec, nnz, cbf, _ = residual_pipeline_frame(
             src_blocks, pred_blocks, scale, shift, offset, dscale, dshift,
             tu=cfg.tu, tr_type=tr_type,
         )

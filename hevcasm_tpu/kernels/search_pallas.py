@@ -752,7 +752,13 @@ def _base_grids_kernel(src_ref, win_ref, band_ref, bsel_ref, sq_ref,
                 stk8 = pltpu.bitcast(stk, jnp.int8)       # (num*8, Q*128)
                 g = jax.lax.dot_general(
                     stk8, rhs, _DN1, preferred_element_type=jnp.int32)
-                corr = _band_mxu(g, h, num, bsel_ref[...])[:, :num]
+                if base >= 16:
+                    corr = _band_mxu(g, h, num, bsel_ref[...])[:, :num]
+                else:
+                    # base == 8: 64 unrolled _band_mxu instances (x3 byte
+                    # splits each) explode Mosaic compile time; the roll
+                    # tree stays tractable.
+                    corr = _band_tree(g, h, num, num, _LW)
                 ey = box
                 if j:
                     ey = pltpu.roll(ey, _LW - base * j, axis=0)

@@ -238,7 +238,10 @@ def residual_pipeline_frame(
     docstring (pass-1 inputs are 9-bit residuals, all later passes use the
     hi/lo split; every accumulation stays below 2^24).
 
-    Returns (recon (n, B, B) uint8, nnz () int32, cbf (n, B/tu, B/tu) bool).
+    Returns (recon (n, B, B) uint8, nnz () int32, cbf (n, B/tu, B/tu)
+    bool, bits (n,) int32 per-CTU Exp-Golomb bit-cost sums of the
+    quantized levels — the rate model of encode/rate.bits_estimate, so RD
+    decisions (TU selection) can price real bits instead of proxies).
     """
     import numpy as np
 
@@ -269,6 +272,10 @@ def residual_pipeline_frame(
     cbf = jnp.any(
         (q != 0).reshape(q.shape[0], k, tu, k, tu), axis=(-3, -1)
     )
+    aq = jnp.abs(q)
+    fl = (jax.lax.bitcast_convert_type(
+        jnp.maximum(aq, 1).astype(jnp.float32), jnp.int32) >> 23) - 127
+    bits = jnp.sum(jnp.where(aq > 0, 2 * fl + 3, 0), axis=(-2, -1))
 
     # Dequantize (quantize.c:53-62).
     dq = jnp.clip((q * dscale + (1 << (dshift - 1))) >> dshift, -32768, 32767)
@@ -278,7 +285,7 @@ def residual_pipeline_frame(
     r2 = jnp.clip((_mm_right_exact(r1, bd) + (1 << (i2 - 1))) >> i2, -32768, 32767)
 
     rec = jnp.clip(pred_blocks.astype(jnp.int32) + r2, 0, 255).astype(jnp.uint8)
-    return rec, nnz, cbf
+    return rec, nnz, cbf, bits
 
 
 # REF-tier exact-SSD grid for the same op family (scan formulation mirroring
@@ -310,7 +317,7 @@ def _diag_colsum_check():  # pragma: no cover - debugging helper
 def _residual_pipeline_jit(src, pred, qscale, qshift, qoffset, dscale, dshift,
                            tu=8, tr_type=0):
     """JIT tier of ops.residual.residual_pipeline (normalized cbf shape)."""
-    rec, nnz, cbf = residual_pipeline_frame(
+    rec, nnz, cbf, _ = residual_pipeline_frame(
         src, pred, qscale, qshift, qoffset, dscale, dshift, tu=tu, tr_type=tr_type
     )
     return rec, nnz, cbf.reshape(-1)

@@ -19,7 +19,7 @@ import jax
 
 from . import registry
 from .config import Tier
-from .utils.timing import time_fn
+from .utils.timing import time_fn, time_fn_converged
 
 _SEED = 0x48455643
 
@@ -64,6 +64,7 @@ def run_suite(
     verbose: bool = True,
     time_it: bool = True,
     records: list | None = None,
+    converged: bool = False,
 ) -> int:
     errors = 0
     rng = np.random.default_rng(_SEED)
@@ -105,7 +106,10 @@ def run_suite(
             ) or len(golden) != len(out)
             rec["match"] = not mismatch
             if time_it:
-                t = time_fn(fn, *case.args, iters=case.iters)
+                if converged:
+                    t = time_fn_converged(fn, *case.args)
+                else:
+                    t = time_fn(fn, *case.args, iters=case.iters)
                 if tier is Tier.REF:
                     t_ref = t
                 speed = f"(x{t_ref / t:.2f})" if (t_ref and t > 0) else ""
@@ -338,18 +342,23 @@ def main(
     time_it: bool = True,
     suites: list[str] | None = None,
     json_path: str | None = None,
+    converged: bool = False,
 ) -> int:
     """Run all (or the named) suites, order mirroring hevcasm.c:169-180;
     returns the total error count.  ``json_path`` writes structured
     per-(op, case, tier) results (SURVEY.md section 5 metrics row);
-    "-" writes them to stdout."""
+    "-" writes them to stdout.  ``converged`` times with the reference
+    harness's converging averager (hevcasm_test.c:40-107 semantics,
+    utils.timing.time_fn_converged) instead of best-of-k — steadier for
+    the dispatch-noise-dominated micro cases (VERDICT r3 weak #6)."""
     print(f"hevcasm_tpu self test (devices: {jax.devices()})", flush=True)
     errors = 0
     records: list = []
     for suite in SUITES:
         if suites and suite.name not in suites and suite.op not in suites:
             continue
-        errors += run_suite(suite, mask, time_it=time_it, records=records)
+        errors += run_suite(suite, mask, time_it=time_it, records=records,
+                            converged=converged)
     print(f"\n{errors} errors" if errors else "\nself test passed", flush=True)
     if json_path:
         import json as _json

@@ -21,7 +21,7 @@ def test_frame_pipeline_matches_ref(rng, tu):
     )
     qs, qh, qo = cfg.quant_params(False)
     ds, dh = cfg.dequant_params()
-    got_rec, got_nnz, got_cbf = residual_pipeline_frame(
+    got_rec, got_nnz, got_cbf, _ = residual_pipeline_frame(
         jnp.asarray(src), jnp.asarray(pred), qs, qh, qo, ds, dh, tu=tu, tr_type=0
     )
     np.testing.assert_array_equal(np.asarray(got_rec), np.asarray(want_rec))
@@ -42,7 +42,7 @@ def test_frame_pipeline_dst(rng):
     )
     qs, qh, qo = cfg.quant_params(True)
     ds, dh = cfg.dequant_params()
-    got_rec, got_nnz, _ = residual_pipeline_frame(
+    got_rec, got_nnz, _, _ = residual_pipeline_frame(
         jnp.asarray(src), jnp.asarray(pred), qs, qh, qo, ds, dh, tu=4, tr_type=1
     )
     np.testing.assert_array_equal(np.asarray(got_rec), np.asarray(want_rec))
