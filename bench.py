@@ -86,7 +86,7 @@ def measure():
     c1 = int(long_chain(cur, ref))
     log(f"chain compile+run: {time.perf_counter() - t0:.1f}s (checksum {c1})")
 
-    def best_of(chain, reps=2):
+    def best_of(chain, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -149,7 +149,23 @@ def measure():
     frame_s = (t_long - t_short) / (iters_long - iters_short)
     floor_s = t_long - frame_s * iters_long
     log(f"dispatch floor: {floor_s * 1e3:.1f} ms (two-length difference)")
-    if frame_s > 0:
+    if not (0.0 <= floor_s <= 0.05) or frame_s <= 0:
+        # Relay jitter poisoned one of the chain samples (floors observed
+        # ~10-25 ms; a 75 ms "floor" means a slow outlier slipped through
+        # best-of): re-sample both chains and re-difference.
+        log("implausible floor; re-sampling chains")
+        t_long = min(t_long, best_of(long_chain))
+        t_short = min(t_short, best_of(short_chain))
+        frame_s = (t_long - t_short) / (iters_long - iters_short)
+        floor_s = t_long - frame_s * iters_long
+        log(f"dispatch floor (resampled): {floor_s * 1e3:.1f} ms")
+    if not (0.0 <= floor_s <= 0.05) or frame_s <= 0:
+        # Still implausible: fall back to the amortized estimate (floor
+        # divided across the long chain) rather than report garbage.
+        frame_s = t_long / iters_long
+        floor_s = 0.0
+        emit(frame_s, "final, floor amortized (two-length diff unstable)")
+    else:
         emit(frame_s, "final, floor cancelled")
 
     # ---- secondary configs (diagnostics, stderr JSON; the driver's one
@@ -168,13 +184,17 @@ def measure():
 
         int(chain(cur0, ref0))  # compile + warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             int(chain(cur0, ref0))
             best = min(best, time.perf_counter() - t0)
-        fs = max((best - floor_s) / iters, 1e-9)
-        rec = {"config": name, "ms_per_frame": round(fs * 1e3, 3),
-               "fps_1080p": round(1 / fs, 1)}
+        fs = (best - floor_s) / iters
+        rec = {"config": name}
+        if fs <= 0:
+            fs = best / iters
+            rec["floor_amortized"] = True
+        rec.update({"ms_per_frame": round(fs * 1e3, 3),
+                    "fps_1080p": round(1 / fs, 1)})
         rec.update(extra)
         log(json.dumps(rec))
 
@@ -183,10 +203,12 @@ def measure():
         smooth = (np.roll(smooth, 1, 0) + smooth + np.roll(smooth, -1, 0)) / 3
         smooth = (np.roll(smooth, 1, 1) + smooth + np.roll(smooth, -1, 1)) / 3
     pan = np.clip(smooth, 0, 255).astype(np.uint8)
-    sref = jnp.asarray(pan[:h, :w])
+    # Split-motion pan within the +-32 search range (tools/bench_rdo.py's
+    # content): top half pans (+3, +2), bottom half (-5, -7).
+    sref = jnp.asarray(pan[32 : 32 + h, 32 : 32 + w])
     scur = np.empty((h, w), np.uint8)
-    scur[: h // 2] = pan[3 : 3 + h // 2, 2 : 2 + w]
-    scur[h // 2 :] = pan[h // 2 - 5 : h - 5, 61 : 61 + w]
+    scur[: h // 2] = pan[35 : 35 + h // 2, 34 : 34 + w]
+    scur[h // 2 :] = pan[27 + h // 2 : 27 + h, 25 : 25 + w]
     scur = jnp.asarray(scur)
 
     sout = encode_inter_frame(scur, sref, cfg)
