@@ -92,3 +92,38 @@ def test_base_grids_ctu_matches_per_block(rng):
         want = np.asarray(
             xla_opt.ssd_grid(srcb, winb, 65, 65)).reshape(n, k, k, 65, 65)
         assert np.array_equal(got, want), f"base={base}"
+
+
+def test_search_variants_match_full_search(rng):
+    """The kept experimental search variants — in-kernel argmin
+    (search_mv), in-kernel slab DMA (search_mv_dma), and the layout-in-XLA
+    prep path (ssd_grid(prep='xla')) — all bit-match the default grid path
+    (they are measured non-defaults: docs/DESIGN.md section 7)."""
+    import jax.numpy as jnp
+
+    from hevcasm_tpu.encode import ctu as ctu_mod, motion
+    from hevcasm_tpu.kernels.search_pallas import (
+        search_mv, search_mv_dma, ssd_grid)
+
+    h, w, r, b = 192, 256, 32, 64
+    gr, gc = h // b, w // b
+    cur = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    ref = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    src = ctu_mod.tile_frame(jnp.asarray(cur), b)
+    pos = motion.ctu_positions(gr, gc, b)
+    rp = ctu_mod.pad_frame(jnp.asarray(ref), r + 3, r + 4, r + 3, r + 4)
+    mv0, best0 = motion.full_search(src, rp, pos, r, grid_fn=xla_opt.ssd_grid,
+                                    grid=(gr, gc))
+    win = motion.extract_aligned_windows(rp, (3, 3), (gr, gc), b, b + 2 * r)
+
+    mv1, best1 = search_mv(src, win, 2 * r + 1, group=3)
+    assert np.array_equal(np.asarray(mv0), np.asarray(mv1))
+    assert np.array_equal(np.asarray(best0), np.asarray(best1))
+
+    mv2, best2 = search_mv_dma(src, rp, pos, r)
+    assert np.array_equal(np.asarray(mv0), np.asarray(mv2))
+    assert np.array_equal(np.asarray(best0), np.asarray(best2))
+
+    want = np.asarray(xla_opt.ssd_grid(src, win, 65, 65))
+    got = np.asarray(ssd_grid(src, win, 65, 65, prep="xla"))
+    assert np.array_equal(want, got)
