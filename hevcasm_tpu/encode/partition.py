@@ -237,7 +237,6 @@ def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
     Returns (pred (n, 64, 64) uint8, choice (n,) int32, mv_qpel_tiles
     (n, k, k, 2) int32 per-base-tile quarter-pel MVs, best64 (n,)).
     """
-    from ..kernels.interp_pallas import refine_qpel_costmap
     from ..ops.pred_inter import pred_uni
 
     n = src_ctus.shape[0]
