@@ -118,7 +118,7 @@ class EncodeConfig:
         _check = {
             "me_metric": ("sad", "ssd"),
             "me_strategy": ("full", "pyramid"),
-            "search_impl": ("auto", "grid", "mv", "dma"),
+            "search_impl": ("auto", "grid", "slab", "mv", "dma"),
             "refine_impl": ("mxu", "ref"),
             "residual_impl": ("mxu", "pallas", "ref"),
             "intra_mode": ("open_loop", "wavefront"),
@@ -129,7 +129,7 @@ class EncodeConfig:
             v = getattr(self, field)
             if v not in valid:
                 raise ValueError(f"{field}={v!r} (valid: {', '.join(valid)})")
-        if self.search_impl in ("mv", "dma") and not (
+        if self.search_impl in ("mv", "dma", "slab") and not (
             self.me_metric == "ssd" and self.me_strategy == "full"
             and self.ctu == 64 and self.ctu + 2 * self.search_range == 128
         ):
@@ -184,16 +184,27 @@ class EncodeConfig:
         return scale, shift
 
 
-def _search_impl_resolved(cfg: EncodeConfig) -> str:
-    """Resolve search_impl='auto' -> 'grid'.
+def _search_impl_resolved(cfg: EncodeConfig, grid=None) -> str:
+    """Resolve search_impl='auto'.
 
-    Measured on v5e (r4, interleaved A/B, 1080p fused_dma frame): grid
-    1.12 ms vs mv 1.16 ms vs dma 1.21 ms end-to-end — the XLA-overlapped
-    extract + argmin around the chunked kernel beats both in-kernel argmin
-    and in-kernel slab DMA (docs/DESIGN.md section 6), so 'auto' stays on
-    'grid'; 'mv'/'dma' remain as tested alternatives."""
+    'auto' picks 'slab' (windows read straight from the reference plane in
+    64-row blocks — no XLA window stack) when the geometry fits: TPU,
+    exhaustive SSD, 64x64 CTUs, +-32 range, even CTU-grid width.  Measured
+    on v5e (r5, interleaved A/B, 1080p fused_dma frame): slab saves the
+    ~0.15 ms/frame window gather/stitch/centering layout traffic of 'grid'.
+    Otherwise 'grid' (the r4 default); 'mv'/'dma' remain as tested
+    alternatives (both measured slower — docs/DESIGN.md section 6)."""
     if cfg.search_impl != "auto":
         return cfg.search_impl
+    import jax as _jax
+
+    if (
+        _jax.default_backend() == "tpu"
+        and cfg.me_metric == "ssd" and cfg.me_strategy == "full"
+        and cfg.ctu == 64 and cfg.search_range == 32
+        and grid is not None and grid[1] % 2 == 0
+    ):
+        return "slab"
     return "grid"
 
 
@@ -207,7 +218,9 @@ def _integer_search(src_ctus, ref, ref_padded, pos, cfg: EncodeConfig, grid):
         return motion.pyramid_search(
             src_ctus, ref, ref_padded, pos, r, grid_fn=grid_fn, grid=grid
         )
-    impl = _search_impl_resolved(cfg)
+    impl = _search_impl_resolved(cfg, grid)
+    if impl == "slab":
+        return motion.full_search_slab(src_ctus, ref_padded, r, grid)
     if impl == "dma":
         from ..kernels.search_pallas import search_mv_dma
 

@@ -139,6 +139,41 @@ def full_search(
     return mv, best_sad
 
 
+def full_search_slab(
+    src_ctus: jnp.ndarray,
+    ref_padded: jnp.ndarray,
+    search_range: int,
+    grid: tuple[int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Integer full search with the windows read straight from the plane.
+
+    Same contract and results as full_search (me_metric='ssd', b = 64,
+    R = 32, even CTU-grid width), but the Pallas kernel walks the padded
+    reference in 64-row slabs instead of consuming an XLA-materialized
+    (n, 128, 128) window stack — the window gather/stitch/centering
+    layout traffic (~0.15 ms/frame at 1080p) disappears
+    (kernels/search_pallas.ssd_grid_plane).
+    """
+    from ..kernels.search_pallas import ssd_grid_plane
+
+    b = src_ctus.shape[-1]
+    r = search_range
+    num = 2 * r + 1
+    gr, gc = grid
+    # ref_padded carries (R + PAD_L) top/left; the slab kernel wants the
+    # window of CTU (r, c) at plane[64r, 64c], i.e. exactly R of padding.
+    plane = jax.lax.slice(
+        ref_padded, (PAD_L, PAD_L),
+        (PAD_L + gr * b + 2 * r, PAD_L + gc * b + 2 * r),
+    )
+    sads = ssd_grid_plane(src_ctus, plane, grid, num)
+    flat = sads.reshape(sads.shape[0], -1)
+    best = jnp.argmin(flat, axis=-1).astype(jnp.int32)
+    best_sad = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    mv = jnp.stack([best // num - r, best % num - r], axis=-1)
+    return mv, best_sad
+
+
 def full_search_multi(
     src_ctus: jnp.ndarray,
     planes: jnp.ndarray,

@@ -151,33 +151,70 @@ def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: Encod
     pos = motion.ctu_positions(gr, gc, cfg.ctu)
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
 
-    # Both references searched in ONE batched grid call (per-reference
-    # argmin — a B frame needs both MVs), then refined per reference.
+    # Both references searched per-reference (a B frame needs both MVs):
+    # the slab kernel per plane when the geometry fits, else ONE batched
+    # grid call over the stacked planes.
+    from .loop import _search_impl_resolved
+
     planes = jax.vmap(
         lambda p: ctu_mod.pad_frame(
             p, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
         )
     )(jnp.stack([ref0.y, ref1.y]))
-    mv_ints, _ = motion.full_search_multi(
-        src_ctus, planes, pos, r, grid_fn=grid_fn, grid=(gr, gc), joint=False
-    )
-    from ..kernels.interp_xla import refine_quarter_pel_mxu
+    if _search_impl_resolved(cfg, (gr, gc)) == "slab":
+        searched = [
+            motion.full_search_slab(src_ctus, planes[i], r, (gr, gc))
+            for i in range(2)
+        ]
+        mv_ints = [s[0] for s in searched]
+    else:
+        mv_ints, _ = motion.full_search_multi(
+            src_ctus, planes, pos, r, grid_fn=grid_fn, grid=(gr, gc), joint=False
+        )
 
-    mvs, preds16 = [], []
-    for i in range(2):
-        start = pos + mv_ints[i] + r
-        win = motion.extract_windows(planes[i], start, cfg.ctu + motion.TAPS - 1)
-        _, frac_idx, _ = refine_quarter_pel_mxu(src_ctus, win)
-        mv_qpel = mv_ints[i] * 4 + jnp.stack(
-            [frac_idx // 4, frac_idx % 4], axis=-1)
-        frac = mv_qpel & 3
-        p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
-        mvs.append(mv_qpel)
-        preds16.append(p16.astype(jnp.int32))
+    if (cfg.inter_impl in ("fused", "fused_batched", "fused_dma")
+            and cfg.ctu == 64 and cfg.tu == 8):
+        # Fused bi tier: both refine windows DMA'd in-kernel, per-reference
+        # QPEL_SCORE refinement, int16 (acc >> 6) intermediates, the
+        # (r0 + r1 + 64) >> 7 combining mean, and the residual pipeline in
+        # one VMEM residency (kernels/interp_pallas.bi_ctu_fused_dma) —
+        # bit-exact with the staged composition below (tests/test_video.py).
+        from ..kernels.interp_pallas import bi_ctu_fused_dma
 
-    pred_y = jnp.clip((preds16[0] + preds16[1] + 64) >> 7, 0, 255).astype(jnp.uint8)
-    rec_y_ctus, nnz_y, _ = _residual_pipeline(src_ctus, pred_y, cfg, intra=False)
-    rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
+        hp, wp = planes.shape[1], planes.shape[2]
+        flat = planes.reshape(2 * hp, wp)
+        start0 = pos + mv_ints[0] + r
+        start1 = pos + mv_ints[1] + r + jnp.asarray([hp, 0], jnp.int32)
+        scale, shift, offset = cfg.quant_params(False)
+        dscale, dshift = cfg.dequant_params()
+        rec_y_ctus, f0, f1, nnz_tu, _ = bi_ctu_fused_dma(
+            src_ctus, flat, start0, start1, scale, shift, offset,
+            dscale, dshift, group=cfg.fused_group,
+        )
+        mvs = [
+            mv_ints[0] * 4 + jnp.stack([f0 // 4, f0 % 4], axis=-1),
+            mv_ints[1] * 4 + jnp.stack([f1 // 4, f1 % 4], axis=-1),
+        ]
+        nnz_y = jnp.sum(nnz_tu)
+        rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
+    else:
+        from ..kernels.interp_xla import refine_quarter_pel_mxu
+
+        mvs, preds16 = [], []
+        for i in range(2):
+            start = pos + mv_ints[i] + r
+            win = motion.extract_windows(planes[i], start, cfg.ctu + motion.TAPS - 1)
+            _, frac_idx, _ = refine_quarter_pel_mxu(src_ctus, win)
+            mv_qpel = mv_ints[i] * 4 + jnp.stack(
+                [frac_idx // 4, frac_idx % 4], axis=-1)
+            frac = mv_qpel & 3
+            p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
+            mvs.append(mv_qpel)
+            preds16.append(p16.astype(jnp.int32))
+
+        pred_y = jnp.clip((preds16[0] + preds16[1] + 64) >> 7, 0, 255).astype(jnp.uint8)
+        rec_y_ctus, nnz_y, _ = _residual_pipeline(src_ctus, pred_y, cfg, intra=False)
+        rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
 
     def chroma_bi(plane0, plane1, mv0, mv1, cur_plane):
         # Reference bi contract: each uni path keeps the int16 (acc >> 6)

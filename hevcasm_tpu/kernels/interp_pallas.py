@@ -14,9 +14,11 @@ THREE matmuls and scored without any HBM intermediate:
       (256, 256) product holds all 16 candidate predictions in 64x64
       quadrants.
 
-Scoring: |src - pred| row-block sums (VPU) then a tiny 0/1 f32 matmul to
-(4, 4); selection by first-minimum linear index (matching the jnp path's
-tie-break); the winning quadrant is extracted with two dynamic rotates.
+Scoring: QPEL_SCORE (ops/pred_inter.qpel_score) on the PRE-clip vertical
+accumulator — |acc - (src << 12)| >> 4 row-block sums (VPU);
+selection by first-minimum linear index (matching the jnp path's
+tie-break); the winning quadrant is extracted with two dynamic rotates and
+only IT is clipped to pixels.
 
 This is the Pallas analogue of the reference's width-specialised interp asm
 (pred_inter_a.asm:174-443) composed with its own consumers' candidate
@@ -63,34 +65,47 @@ def _wrap16(x):
     return (x << 16) >> 16
 
 
-def _refine_core(src, win, bx_ref, ay_ref, *, b):
-    """src (b, b) int32, win (LW, LW) int32 zero-padded beyond (b+7, b+7).
+def _refine_core(src, win, bx_ref, ay_ref, *, b, raw=False):
+    """src (b, b) int32; win (>= b+8, LW) int32, content beyond column
+    b+6 inert (FIR matrix rows there are zero); rows beyond b+7 unread.
 
     Returns (best_pred (b, b) int32, best_idx scalar int32, best_cost
-    scalar int32)."""
+    scalar int32); with ``raw`` the first element is instead the winning
+    quadrant's PRE-shift accumulator + 2048 (int32) — the bi-pred kernel
+    derives the reference's int16 (acc >> 6) intermediate from it
+    (pred_inter.c:514-523).  Candidates are scored by QPEL_SCORE
+    (ops/pred_inter):
+    sum_px |acc - (src << 12)| >> 4 on the PRE-clip vertical
+    accumulator — the r4 kernel materialized all 16 clipped predictions
+    (add/shift/min/max over the (4b, 4b) plane) before a plain SAD, ~0.05
+    ms/frame of pure VPU cost; only the WINNING quadrant is clipped now.
+    """
     m4 = 4 * b
+    rh = b + 8
 
     # H pass: one bf16 matmul for all 4 xFracs; exact (sums < 2^18).
+    # Contract only the rh live window rows (FIR rows beyond b+6 are zero),
+    # so no (LW - rh)-row pad of the intermediate is materialized.
     inter = jax.lax.dot_general(
-        win.astype(jnp.bfloat16), bx_ref[...].astype(jnp.bfloat16),
+        win[:rh].astype(jnp.bfloat16), bx_ref[...].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)                       # (LW, 4b)
+    ).astype(jnp.int32)                       # (rh, 4b)
     inter = _wrap16(inter)                    # int16 intermediate store
 
     # V pass: two s8 matmuls over the hi / (lo - 128) byte split.
     hi = (inter >> 8).astype(jnp.int8)
     lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
-    ay = ay_ref[...]
+    ay = ay_ref[...][:, :rh]
     dn = (((1,), (0,)), ((), ()))
     mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
     ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
-    acc = 256 * mh + ml + 128 * 64            # (4b, 4b); sum(coef) == 64
-    preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+    acc = 256 * mh + ml + (128 * 64 + 2048)   # (4b, 4b); sum(coef) == 64
 
-    # SAD per bxb quadrant: sublane-block row sums (cheap reshape), then a
-    # transpose so the lane-block sums also become a sublane reshape-sum —
-    # all int32, exact.
-    diff = jnp.abs(preds - jnp.tile(src, (4, 4)))          # (4b, 4b)
+    # Raw-domain score per bxb quadrant (QPEL_SCORE): sublane-block row
+    # sums (cheap reshape), then a transpose so the lane-block sums also
+    # become a sublane reshape-sum — all int32, exact (|d| >> 4 < 2^18,
+    # CTU sums < 2^30).
+    diff = jnp.abs(acc - jnp.tile((src << 12) + 2048, (4, 4))) >> 4  # (4b, 4b)
     rowsum = jnp.sum(diff.reshape(4, b, m4), axis=1)       # (4, 4b) [yf, xf*b+o]
     colsum = jnp.sum(rowsum.T.reshape(4, b, 4), axis=1)    # (4, 4) [xf, yf]
     sad = colsum.T                                         # (4, 4) [yf, xf]
@@ -107,10 +122,14 @@ def _refine_core(src, win, bx_ref, ay_ref, *, b):
     # sliced-out b columns since xf*b + b <= m4 <= LW).
     yf, xf = best_idx // 4, best_idx % 4
     lw = max(m4, _LW)
-    predsp = preds if m4 >= _LW else jnp.pad(preds, ((0, 0), (0, lw - m4)))
-    sel = pltpu.roll(predsp, (m4 - yf * b) % m4, axis=0)   # left by yf*b
+    accp = acc if m4 >= _LW else jnp.pad(acc, ((0, 0), (0, lw - m4)))
+    sel = pltpu.roll(accp, (m4 - yf * b) % m4, axis=0)     # left by yf*b
     sel = pltpu.roll(sel, (lw - xf * b) % lw, axis=1)      # left by xf*b
-    return sel[:b, :b], best_idx, best_cost
+    sel = sel[:b, :b]
+    if raw:
+        return sel, best_idx, best_cost
+    pred = jnp.clip(sel >> 12, 0, 255)
+    return pred, best_idx, best_cost
 
 
 def _aligned_windows(windows, b):
@@ -135,7 +154,6 @@ def _kernel(src_ref, win_ref, bx_ref, ay_ref,
             pred_ref, frac_ref, cost_ref, *, b):
     src = src_ref[0].astype(jnp.int32)                     # (b, b)
     win = win_ref[0].astype(jnp.int32)                     # (b+8, LW)
-    win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
     pred, idx, cost = _refine_core(src, win, bx_ref, ay_ref, b=b)
     pred_ref[0] = pred.astype(jnp.uint8)
     frac_ref[...] = idx.reshape(1, 1, 1)
@@ -180,19 +198,19 @@ def refine_quarter_pel_fused(src_ctus: jnp.ndarray, windows: jnp.ndarray):
 
 
 def _costmap_kernel(src_ref, win_ref, bx_ref, ay_ref, cost_ref, *, b, group):
-    """SAD of all 16 fractional candidates, no prediction output: the
-    _refine_core candidate sweep up to (and including) the (4, 4) SAD map,
+    """QPEL_SCORE of all 16 fractional candidates, no prediction output:
+    the _refine_core candidate sweep up to the (4, 4) cost map,
     `group` tiles per grid step (small tiles are per-step-overhead bound).
     Rectangular-PU refinement sums these maps across a PU's square tiles
     and argmins ONE fraction for the whole PU (encode/partition.py)."""
     m4 = 4 * b
-    ay = ay_ref[...]
+    rh = b + 8
+    ay = ay_ref[...][:, :rh]
     dn = (((1,), (0,)), ((), ()))
     bx = bx_ref[...].astype(jnp.bfloat16)
     for gi in range(group):
         src = src_ref[gi].astype(jnp.int32)
-        win = win_ref[gi].astype(jnp.int32)
-        win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
+        win = win_ref[gi].astype(jnp.int32)[:rh]
 
         inter = jax.lax.dot_general(
             win.astype(jnp.bfloat16), bx,
@@ -203,10 +221,10 @@ def _costmap_kernel(src_ref, win_ref, bx_ref, ay_ref, cost_ref, *, b, group):
         lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
         mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
         ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
-        acc = 256 * mh + ml + 128 * 64
-        preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+        acc = 256 * mh + ml + (128 * 64 + 2048)
 
-        diff = jnp.abs(preds - jnp.tile(src, (4, 4)))
+        # QPEL_SCORE on the pre-clip accumulator (see _refine_core).
+        diff = jnp.abs(acc - jnp.tile((src << 12) + 2048, (4, 4))) >> 4
         rowsum = jnp.sum(diff.reshape(4, b, m4), axis=1)
         colsum = jnp.sum(rowsum.T.reshape(4, b, 4), axis=1)
         cost_ref[gi] = colsum.T                            # (4, 4) [yf, xf]
@@ -241,33 +259,40 @@ def _costmap_kernel_stacked(src_ref, win_ref, bx_ref, ayg_ref, p4_ref,
     ayg = ayg_ref[...]
     mh = jax.lax.dot_general(ayg, hi, dn, preferred_element_type=jnp.int32)
     ml = jax.lax.dot_general(ayg, lo, dn, preferred_element_type=jnp.int32)
-    acc = 256 * mh + ml + 128 * 64                         # (G*4b, 4b)
-    preds = jnp.clip((acc + 2048) >> 12, 0, 255)
+    acc = 256 * mh + ml + (128 * 64 + 2048)                # (G*4b, 4b)
 
-    diff = jnp.abs(preds - src_ref[...].reshape(G * m4, m4).astype(jnp.int32))
+    # QPEL_SCORE on the pre-clip accumulator (see _refine_core).
+    s4 = (src_ref[...].reshape(G * m4, m4).astype(jnp.int32) << 12) + 2048
+    diff = jnp.abs(acc - s4) >> 4
     rowsum = jnp.sum(diff.reshape(G * 4, b, m4), axis=1)   # (G*4, 4b)
-    # Exact lane reduction: a single f32 matmul rounds here on the MXU
-    # (Mosaic lowers f32 dots through bf16 and rowsums reach 2^16), so the
-    # reduction rides two matmuls over the hi/lo byte split — every
-    # operand is an integer < 256 (exact in bf16) and the f32 accumulation
-    # of sums < 2^24 is exact.
-    p4 = p4_ref[...]
+    cost_ref[...] = _score_reduce(rowsum, p4_ref[...], b).reshape(G, 4, 4)
+
+
+def _score_reduce(rowsum, p4, b):
+    """Exact lane reduction of QPEL_SCORE rowsums (< b * 2^18 <= 2^23): a
+    single f32 matmul rounds on the MXU (Mosaic lowers f32 dots through
+    bf16), so the reduction rides THREE matmuls over an 8-bit 3-way split —
+    every operand is an integer < 256 (exact in bf16) and the f32
+    accumulation of sums < 2^24 is exact."""
     dn0 = (((1,), (0,)), ((), ()))
-    chi = jax.lax.dot_general((rowsum >> 8).astype(jnp.bfloat16), p4,
-                              dn0, preferred_element_type=jnp.float32)
-    clo = jax.lax.dot_general(
+    ca = jax.lax.dot_general((rowsum >> 16).astype(jnp.bfloat16), p4,
+                             dn0, preferred_element_type=jnp.float32)
+    cb = jax.lax.dot_general(
+        jnp.bitwise_and(rowsum >> 8, 255).astype(jnp.bfloat16), p4,
+        dn0, preferred_element_type=jnp.float32)
+    cc = jax.lax.dot_general(
         jnp.bitwise_and(rowsum, 255).astype(jnp.bfloat16), p4,
         dn0, preferred_element_type=jnp.float32)
-    cost = 256 * chi.astype(jnp.int32) + clo.astype(jnp.int32)
-    cost_ref[...] = cost.reshape(G, 4, 4)
+    return ((ca.astype(jnp.int32) << 16) + (cb.astype(jnp.int32) << 8)
+            + cc.astype(jnp.int32))
 
 
 @jax.jit
 def refine_qpel_costmap(src_blocks: jnp.ndarray, windows: jnp.ndarray):
-    """All-16-candidate SAD maps WITHOUT selection or prediction output.
+    """All-16-candidate QPEL_SCORE maps, no selection or predictions.
 
     src_blocks (n, b, b) uint8, windows (n, >=b+7, >=b+7) uint8 at the
-    integer MV -> (n, 4, 4) int32 SAD per (yf, xf), bit-exact with
+    integer MV -> (n, 4, 4) int32 qpel_score per (yf, xf), bit-exact with
     kernels/interp_xla.refine_qpel_costmap_mxu's cost output."""
     n, b, _ = src_blocks.shape
     assert b + TAPS <= _LW
@@ -413,24 +438,13 @@ def _costmap_kernel_dma(off_ref, src_ref, plane_ref, bx_ref, ayg_ref,
     m4 = 4 * b
     mh = jax.lax.dot_general(ayg, hi, dn, preferred_element_type=jnp.int32)
     ml = jax.lax.dot_general(ayg, lo, dn, preferred_element_type=jnp.int32)
-    acc = 256 * mh + ml + 128 * 64
-    preds = jnp.clip((acc + 2048) >> 12, 0, 255)
-    diff = jnp.abs(preds - src_ref[...].reshape(G * m4, m4).astype(jnp.int32))
+    acc = 256 * mh + ml + (128 * 64 + 2048)
+
+    # QPEL_SCORE on the pre-clip accumulator (see _refine_core).
+    s4 = (src_ref[...].reshape(G * m4, m4).astype(jnp.int32) << 12) + 2048
+    diff = jnp.abs(acc - s4) >> 4
     rowsum = jnp.sum(diff.reshape(G * 4, b, m4), axis=1)   # (G*4, 4b)
-    # Exact lane reduction: a single f32 matmul rounds here on the MXU
-    # (Mosaic lowers f32 dots through bf16 and rowsums reach 2^16), so the
-    # reduction rides two matmuls over the hi/lo byte split — every
-    # operand is an integer < 256 (exact in bf16) and the f32 accumulation
-    # of sums < 2^24 is exact.
-    p4 = p4_ref[...]
-    dn0 = (((1,), (0,)), ((), ()))
-    chi = jax.lax.dot_general((rowsum >> 8).astype(jnp.bfloat16), p4,
-                              dn0, preferred_element_type=jnp.float32)
-    clo = jax.lax.dot_general(
-        jnp.bitwise_and(rowsum, 255).astype(jnp.bfloat16), p4,
-        dn0, preferred_element_type=jnp.float32)
-    cost = 256 * chi.astype(jnp.int32) + clo.astype(jnp.int32)
-    cost_ref[...] = cost.reshape(G, 4, 4)
+    cost_ref[...] = _score_reduce(rowsum, p4_ref[...], b).reshape(G, 4, 4)
 
 
 @functools.partial(jax.jit, static_argnames=("group",))
@@ -522,7 +536,6 @@ def _inter_kernel(src_ref, win_ref, bx_ref, ay_ref, bd_ref, pool_ref,
 
     src = src_ref[0].astype(jnp.int32)                     # (b, b)
     win = win_ref[0].astype(jnp.int32)                     # (b+8, LW)
-    win = jnp.pad(win, ((0, _LW - b - 8), (0, 0)))
     pred, idx, cost = _refine_core(src, win, bx_ref, ay_ref, b=b)
     rec, cnt, bits = residual_core(
         src, pred, bd_ref[...], pool_ref[...], **_qp_args(qp_ref),
@@ -620,20 +633,21 @@ def _group_body(src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref,
     ).astype(jnp.int32)
     inter_all = (inter_all << 16) >> 16                    # (G*rh, 4b)
 
-    ay = ay_ref[...]
+    ay = ay_ref[...][:, :rh]
     dn = (((1,), (0,)), ((), ()))
     preds_list, fracs, costs = [], [], []
     for g in range(G):
-        inter = jnp.pad(inter_all[g * rh : (g + 1) * rh], ((0, _LW - rh), (0, 0)))
+        inter = inter_all[g * rh : (g + 1) * rh]           # (rh, 4b)
         hi = (inter >> 8).astype(jnp.int8)
         lo = (jnp.bitwise_and(inter, 255) - 128).astype(jnp.int8)
         mh = jax.lax.dot_general(ay, hi, dn, preferred_element_type=jnp.int32)
         ml = jax.lax.dot_general(ay, lo, dn, preferred_element_type=jnp.int32)
-        acc = 256 * mh + ml + 128 * 64
-        preds = jnp.clip((acc + 2048) >> 12, 0, 255)       # (4b, 4b)
+        acc = 256 * mh + ml + (128 * 64 + 2048)
 
+        # QPEL_SCORE on the pre-clip accumulator (see _refine_core): only
+        # the winning quadrant is clipped to pixels after extraction.
         src = src3[g]
-        diff = jnp.abs(preds - jnp.tile(src, (4, 4)))
+        diff = jnp.abs(acc - jnp.tile((src << 12) + 2048, (4, 4))) >> 4
         rowsum = jnp.sum(diff.reshape(4, b, m4), axis=1)
         colsum = jnp.sum(rowsum.T.reshape(4, b, 4), axis=1)
         sad = colsum.T
@@ -644,10 +658,10 @@ def _group_body(src3, win3, bx_ref, ay_ref, bd_ref, bdg_ref, poolg_ref,
 
         yf, xf = best_idx // 4, best_idx % 4
         lw = max(m4, _LW)
-        predsp = preds if m4 >= _LW else jnp.pad(preds, ((0, 0), (0, lw - m4)))
-        sel = pltpu.roll(predsp, (m4 - yf * b) % m4, axis=0)
+        accp = acc if m4 >= _LW else jnp.pad(acc, ((0, 0), (0, lw - m4)))
+        sel = pltpu.roll(accp, (m4 - yf * b) % m4, axis=0)
         sel = pltpu.roll(sel, (lw - xf * b) % lw, axis=1)
-        preds_list.append(sel[:b, :b])
+        preds_list.append(jnp.clip(sel[:b, :b] >> 12, 0, 255))
         fracs.append(best_idx)
         costs.append(best_cost)
 
@@ -918,6 +932,175 @@ def inter_ctu_fused_dma(src_ctus, ref_plane, offsets, qscale, qshift,
         interpret=jax.default_backend() != "tpu",
     )(offsets, qp, src_ctus, ref_plane, *consts)
     return rec[:n], frac[:n, 0, 0], cost[:n, 0, 0], nnz[:n], bits[:n]
+
+
+def _bi_kernel_dma(off_ref, qp_ref, src_ref, plane_ref, bx_ref, ay_ref,
+                   bd_ref, bdg_ref, poolg_ref, pool_ref, rec_ref,
+                   frac0_ref, frac1_ref, nnz_ref, bits_ref, win_scratch,
+                   sems, *, G, b):
+    """Fused BI-prediction + residual with in-kernel window DMA.
+
+    Per CTU: TWO (80, 256) slabs are DMA'd at the two references' MV
+    offsets (double-buffered across grid steps), de-skewed, and refined
+    independently (QPEL_SCORE per reference, matching the staged B path's
+    per-reference frac selection); the winning quadrants stay PRE-shift,
+    the reference's int16 (acc >> 6) bi intermediates are derived in VMEM
+    (pred_inter.c:514-523), combined as (r0 + r1 + 64) >> 7
+    (pred_inter_a.asm:447-576's fused V+mean pass), and the bi prediction
+    feeds the shared stacked residual pipeline — neither the uni
+    predictions nor the bi prediction ever touch HBM."""
+    from .residual_pallas import residual_core_stacked
+
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    rh = b + 8
+
+    def dma(step, slot, g, ri):
+        j = step * G + g
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(off_ref[j, 4 * ri + 0] * 8, _SLAB_R),
+                         pl.ds(off_ref[j, 4 * ri + 1] * _LW, _SLAB_C)],
+            win_scratch.at[slot, g, ri],
+            sems.at[slot, g, ri],
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            for ri in range(2):
+                dma(i, slot, g, ri).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        for g in range(G):
+            for ri in range(2):
+                dma(i + 1, 1 - slot, g, ri).start()
+
+    for g in range(G):
+        for ri in range(2):
+            dma(i, slot, g, ri).wait()
+
+    preds, fr0, fr1 = [], [], []
+    for g in range(G):
+        wins = []
+        for ri in range(2):
+            s = win_scratch[slot, g, ri].astype(jnp.int32)   # (80, 256)
+            dy = off_ref[i * G + g, 4 * ri + 2]
+            dx = off_ref[i * G + g, 4 * ri + 3]
+            s = pltpu.roll(s, (_SLAB_R - dy) % _SLAB_R, axis=0)
+            s = pltpu.roll(s, (_SLAB_C - dx) % _SLAB_C, axis=1)
+            wins.append(s[:rh, :_LW])
+        src = src_ref[g].astype(jnp.int32)
+        a0, f0, _ = _refine_core(src, wins[0], bx_ref, ay_ref, b=b, raw=True)
+        a1, f1, _ = _refine_core(src, wins[1], bx_ref, ay_ref, b=b, raw=True)
+        # raw quadrants carry the +2048 rounding bias; the bi path's int16
+        # intermediates are (acc >> 6) of the UNbiased accumulator.
+        p0 = _wrap16((a0 - 2048) >> 6)
+        p1 = _wrap16((a1 - 2048) >> 6)
+        preds.append(jnp.clip((p0 + p1 + 64) >> 7, 0, 255))
+        fr0.append(f0)
+        fr1.append(f1)
+
+    src_stack = src_ref[...].astype(jnp.int32).reshape(G * b, b)
+    pred_stack = jnp.concatenate(preds, axis=0)
+    rec_stack, cnt, bits = residual_core_stacked(
+        src_stack, pred_stack, bd_ref[...], bdg_ref[...], poolg_ref[...],
+        pool_ref[...], **_qp_args(qp_ref),
+    )
+    rec_ref[...] = rec_stack.reshape(G, b, b).astype(jnp.uint8)
+    frac0_ref[...] = jnp.concatenate([f.reshape(1, 1, 1) for f in fr0], axis=0)
+    frac1_ref[...] = jnp.concatenate([f.reshape(1, 1, 1) for f in fr1], axis=0)
+    nnz_ref[...] = cnt.reshape(G, 8, 8)
+    bits_ref[...] = bits.reshape(G, 8, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def bi_ctu_fused_dma(src_ctus, ref_plane, offsets0, offsets1, qscale,
+                     qshift, qoffset, dscale, dshift, group: int = 6):
+    """Fused bi-pred refine + combine + residual with in-kernel DMA.
+
+    src_ctus (n, 64, 64) uint8; ref_plane (Hp, Wp) uint8 — may be two
+    padded reference planes stacked along rows (the caller bakes the
+    plane-row offset into offsets1, as the multiref fused path does);
+    offsets0/1 (n, 2) int32 refine-window top-left coords per reference
+    (pos + mv_int + R in each plane's padded coords).  Quantizer params
+    may be traced (SMEM).  Returns (recon (n, 64, 64) uint8, frac0 (n,),
+    frac1 (n,) int32, nnz_tu (n, 8, 8), bits_tu (n, 8, 8)); bit-exact
+    with the staged B-frame composition (refine_quarter_pel_mxu per
+    reference + pred_uni_16 + (r0+r1+64)>>7 + the residual pipeline —
+    tests/test_video.py)."""
+    n, b, _ = src_ctus.shape
+    assert b == 64, "fused bi kernel covers the 64x64-CTU/8x8-TU geometry"
+    hp, wp = ref_plane.shape
+    pad_c = 185 + (-(wp + 185) % _LW)
+    ref_plane = jnp.pad(ref_plane, ((0, 16), (0, pad_c)))
+    G = group
+    steps = -(-n // G)
+    src_ctus = _pad_group(src_ctus, n, steps, G)
+    offs = []
+    for offsets in (offsets0, offsets1):
+        offsets = _pad_group(offsets, n, steps, G)
+        y, x = offsets[:, 0], offsets[:, 1]
+        offs += [y // 8, x // _LW, y % 8, x % _LW]
+    offsets = jnp.stack(offs, axis=-1)                     # (steps*G, 8)
+    consts = _group_constants(G)
+    qp = _qp_vec(qscale, qshift, qoffset, dscale, dshift)
+    kernel = functools.partial(_bi_kernel_dma, G=G, b=b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, b), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_LW, 4 * b), lambda i, off, qp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * b, _LW), lambda i, off, qp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i, off, qp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * b, G * b), lambda i, off, qp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 8, G * b), lambda i, off, qp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i, off, qp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, b, b), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, 1), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, 1), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 8), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 8), lambda i, off, qp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, 2, _SLAB_R, _SLAB_C), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, G, 2)),
+        ],
+    )
+    rec, frac0, frac1, nnz, bits = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((steps * G, b, b), jnp.uint8),
+            jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((steps * G, 8, 8), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(offsets, qp, src_ctus, ref_plane, *consts)
+    return (rec[:n], frac0[:n, 0, 0], frac1[:n, 0, 0], nnz[:n], bits[:n])
 
 
 from .. import registry as _registry

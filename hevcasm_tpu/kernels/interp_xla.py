@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pred_inter import KERNEL8
+from ..ops.pred_inter import KERNEL8, qpel_score
 
 __all__ = ["refine_quarter_pel_mxu", "refine_qpel_costmap_mxu"]
 
@@ -79,7 +79,7 @@ def _qpel_sweep(src_ctus, windows):
             acc = 256 * yh.astype(jnp.int32) + yl.astype(jnp.int32)
             p = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
             preds.append(p)
-            costs.append(jnp.sum(jnp.abs(src32 - p.astype(jnp.int32)), axis=(-2, -1)))
+            costs.append(qpel_score(acc, src32))
 
     return preds, costs
 

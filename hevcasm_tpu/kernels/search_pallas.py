@@ -494,6 +494,132 @@ registry.register(
 )
 
 
+def _kernel_slab(srcc_ref, top_ref, bot_ref, band_ref, out_ref, scr_a, scr_b,
+                 *, b, h, num, chunks, group, cgroups, wp):
+    """Chunked-K SSD grids fed straight from the reference PLANE.
+
+    The r4 path materialized a (n, 128, 128) window stack in XLA (stitch
+    reshapes + centered-int8 conversion — ~0.15 ms/frame of HBM layout
+    traffic at 1080p).  Here the grid walks (ctu_row, col_group) and the
+    plane arrives as two 64-row blocks per step (Pallas re-fetches them
+    only when the row changes); the first col-group of each row builds two
+    packed centered slab variants in VMEM scratch — the raw rows and the
+    same rolled left by 64 lanes — and every CTU's (128, 128) window is
+    then ONE dynamic 128-aligned lane slice of the variant matching its
+    column parity.  Window energy, srcsq, the rolled-stack matmul, and the
+    band tree are unchanged from _kernel_corr.  Covers the headline
+    geometry (b = 64, search range 32); bit-exact with ssd_grid
+    (tests/test_search_pallas.py).
+
+    Reference analogue: the asm search loop reads ref pixels directly at
+    candidate addresses (sad_a.asm:76-152) — no intermediate window
+    buffer exists there either.
+    """
+    j = pl.program_id(1)
+    Q = chunks
+    rows4 = _LW // 4
+    G = group
+
+    @pl.when(j == 0)
+    def _():
+        top = pltpu.bitcast(top_ref[...], jnp.int32)      # (16, wp)
+        bot = pltpu.bitcast(bot_ref[...], jnp.int32)
+        ap = jnp.concatenate([top, bot], axis=0) ^ jnp.int32(
+            np.int32(np.uint32(0x80808080)))
+        # ^ 0x80808080: per-byte centering (x - 128 as int8) in the packed
+        # domain (int8 vector arithmetic does not exist on the VPU).
+        scr_a[...] = ap
+        scr_b[...] = pltpu.roll(ap, wp - 64, axis=1)
+
+    for g in range(G):
+        half = j * (G // 2) + g // 2
+        src_v = (scr_a if g % 2 == 0 else scr_b)[:, pl.ds(half * _LW, _LW)]
+        w8 = pltpu.bitcast(src_v, jnp.int8)               # (128, 128) centered
+        wi = w8.astype(jnp.int32)
+        eyt = _energy_mxu(wi, band_ref[...], b)           # [dx, dy]
+        srcc = srcc_ref[g]                                # (h, Q*LW) int8
+        s32 = srcc.astype(jnp.int32)
+        srcsq = jnp.sum(s32 * s32)
+        stk = _build_stack_chunked(srcc, num)             # (num*h, Q*LW)
+        rhs = pltpu.bitcast(
+            jnp.concatenate(
+                [src_v if q == 0 else
+                 pltpu.roll(src_v, (rows4 - q * h // 4) % rows4, axis=0)
+                 for q in range(Q)],
+                axis=1,
+            ),
+            jnp.int8,
+        )                                                 # (LW, Q*LW)
+        gm = jax.lax.dot_general(stk, rhs, _DN1, preferred_element_type=jnp.int32)
+        corr = _band_tree(gm, h, num, num, _LW)
+        out_ref[g] = srcsq + eyt[:num, :num] - 2 * corr
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "num", "chunks", "group"))
+def ssd_grid_plane(src_ctus: jnp.ndarray, plane: jnp.ndarray,
+                   grid: tuple[int, int], num: int, chunks: int = 8,
+                   group: int = 2) -> jnp.ndarray:
+    """Full-search SSD grids for a CTU grid, windows read from the plane.
+
+    src_ctus (gr*gc, 64, 64) uint8 row-major CTUs; plane (>= gr*64 + 64,
+    >= gc*64 + 64) uint8 — the reference padded by exactly R = 32 on the
+    top/left (window of CTU (r, c) = plane[64r : 64r+128, 64c : 64c+128]).
+    Returns (n, num, num) int32 exact SSD grids in [dy, dx] orientation,
+    bit-exact with ssd_grid on gathered windows.  Requires b = 64,
+    num = 65, gc even.
+    """
+    n, b, _ = src_ctus.shape
+    gr, gc = grid
+    assert b == 64 and num == _LW - b + 1 and n == gr * gc
+    assert gc % 2 == 0, "slab path needs an even CTU-grid width"
+    h = b // chunks
+    hp_need = gr * 64 + 64
+    wp_need = gc * 64 + 64
+    hp, wp0 = plane.shape
+    assert hp >= hp_need and wp0 >= wp_need
+    wp = -(-wp_need // _LW) * _LW
+    if wp0 < wp:
+        plane = jnp.pad(plane, ((0, 0), (0, wp - wp0)))
+    elif wp0 > wp:
+        plane = plane[:, :wp]
+    if hp > hp_need:
+        plane = plane[:hp_need]
+
+    G = group if gc % group == 0 and group % 2 == 0 else 2
+    cgroups = gc // G
+    srcc = _prep_src_chunked(src_ctus, b, h, chunks)      # (n, h, Q*LW) int8
+
+    kernel = functools.partial(
+        _kernel_slab, b=b, h=h, num=num, chunks=chunks, group=G,
+        cgroups=cgroups, wp=wp,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(gr, cgroups),
+        in_specs=[
+            pl.BlockSpec((G, h, chunks * _LW),
+                         lambda i, j, cg=cgroups: (i * cg + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, wp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, wp), lambda i, j: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, _LW), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, num, num),
+                               lambda i, j, cg=cgroups: (i * cg + j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, num, num), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((32, wp), jnp.int32),
+            pltpu.VMEM((32, wp), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(srcc, plane, plane, jnp.asarray(_band_ones(b)))
+    return jnp.swapaxes(out, 1, 2)                        # [dy, dx]
+
+
 def _kernel_corr(src_ref, win_ref, sq_ref, band_ref, out_ref, *, b, h,
                  num_dx, num_dy, chunks, group):
     """Chunked kernel with the LAYOUT work moved to XLA.

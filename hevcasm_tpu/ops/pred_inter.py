@@ -42,6 +42,7 @@ __all__ = [
     "pred_uni_16",
     "pred_bi",
     "pad_for",
+    "qpel_score",
     "refine_qpel",
 ]
 
@@ -160,10 +161,33 @@ def pred_bi(
     return jnp.clip(v, 0, 255).astype(jnp.uint8)
 
 
+def qpel_score(acc: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """THE quarter-pel candidate metric, shared by every refinement tier:
+
+        score = sum_px  |acc - (src << 12)|  >>  4
+
+    where ``acc`` is the pre-shift vertical accumulation (the value whose
+    ``clip((acc + 2048) >> 12)`` is the HEVC prediction); an exact
+    integer-pel match scores 0.  Scoring the raw
+    accumulator instead of the clipped pixels keeps 12 fractional bits of
+    distortion (a strictly finer measure; near-ties may resolve to a
+    different fraction than a post-clip SAD would) and, in the fused
+    kernels, removes the add/shift/clip materialization of all 16
+    candidate planes — only the winner is ever clipped.  The >> 4
+    coarsening bounds the per-CTU sum: |d| < 2^22 for any int16-wrapped
+    intermediate, so 4096 px * 2^18 < 2^30 fits int32 for every input.
+
+    acc (..., b, b) int32; src (..., b, b) uint8/int32.  Returns (...,)
+    int32.  All tiers implement this formula (tests assert bit-equality).
+    """
+    d = jnp.abs(acc - (src.astype(jnp.int32) << 12)) >> 4
+    return jnp.sum(d, axis=(-2, -1))
+
+
 def refine_qpel(src_ctus: jnp.ndarray, windows: jnp.ndarray):
     """Quarter-pel candidate sweep: interpolate all 16 (yf, xf) luma
-    fractions from the extended windows, score each by SAD against the
-    source blocks, and return the best.
+    fractions from the extended windows, score each by qpel_score on the
+    raw accumulator, and return the best.
 
     src_ctus (n, b, b) uint8; windows (n, b+7, b+7) uint8 anchored at the
     integer MV.  Returns (pred (n, b, b) uint8, frac (n,) int32 = yf*4+xf,
@@ -172,8 +196,6 @@ def refine_qpel(src_ctus: jnp.ndarray, windows: jnp.ndarray):
     the encoder-side composition the reference's pred_uni tables exist to
     serve (pred_inter.h:64-67).
     """
-    from .sad import sad
-
     b = src_ctus.shape[-1]
     win32 = windows.astype(jnp.int32)
     # Share the horizontal FIR across the four vertical fractions:
@@ -189,7 +211,7 @@ def refine_qpel(src_ctus: jnp.ndarray, windows: jnp.ndarray):
             acc = _fir(h_pass[xf], cy, axis=-2, out_len=b)
             p = jnp.clip((acc + 2048) >> 12, 0, 255).astype(jnp.uint8)
             preds.append(p)
-            costs.append(sad(src_ctus, p))
+            costs.append(qpel_score(acc, src_ctus))
     preds = jnp.stack(preds, axis=1)  # (n, 16, b, b)
     costs = jnp.stack(costs, axis=1)  # (n, 16)
     frac = jnp.argmin(costs, axis=-1).astype(jnp.int32)
