@@ -182,6 +182,7 @@ def full_search_multi(
     grid_fn=sad_grid,
     grid: tuple[int, int] | None = None,
     joint: bool = True,
+    metric: str | None = None,
 ):
     """Integer full search against k stacked reference planes in ONE
     batched grid call — the k-way generalisation of the reference's 4-way
@@ -199,15 +200,32 @@ def full_search_multi(
     r = search_range
     num = 2 * r + 1
     size = b + 2 * r
-    wins = []
-    for i in range(k):
-        if grid is not None and size % b == 0:
-            wins.append(extract_aligned_windows(planes[i], (PAD_L, PAD_L), grid, b, size))
-        else:
-            wins.append(extract_windows(planes[i], positions + PAD_L, size))
-    win = jnp.concatenate(wins, axis=0)                  # (k*n, S, S)
-    srcs = jnp.tile(src_ctus, (k, 1, 1))                 # (k*n, b, b)
-    scores = grid_fn(srcs, win, num, num).reshape(k, n, num * num)
+    if (
+        metric == "ssd" and b == 64 and r == 32 and grid is not None
+        and grid[1] % 2 == 0 and jax.default_backend() == "tpu"
+    ):
+        # k-aware slab kernel: the rolled-source stack is built once per
+        # CTU and scored against all k planes (sad_a.asm:56-194's
+        # one-src-vs-4-refs amortization); bit-exact with the tiled path.
+        from ..kernels.search_pallas import ssd_grid_plane_multi
+
+        gr, gc = grid
+        sub = jax.vmap(lambda p: jax.lax.slice(
+            p, (PAD_L, PAD_L),
+            (PAD_L + gr * b + 2 * r, PAD_L + gc * b + 2 * r),
+        ))(planes)
+        scores = ssd_grid_plane_multi(src_ctus, sub, grid, num)
+        scores = jnp.swapaxes(scores, 0, 1).reshape(k, n, num * num)
+    else:
+        wins = []
+        for i in range(k):
+            if grid is not None and size % b == 0:
+                wins.append(extract_aligned_windows(planes[i], (PAD_L, PAD_L), grid, b, size))
+            else:
+                wins.append(extract_windows(planes[i], positions + PAD_L, size))
+        win = jnp.concatenate(wins, axis=0)              # (k*n, S, S)
+        srcs = jnp.tile(src_ctus, (k, 1, 1))             # (k*n, b, b)
+        scores = grid_fn(srcs, win, num, num).reshape(k, n, num * num)
     if joint:
         flat = jnp.moveaxis(scores, 0, 1).reshape(n, k * num * num)
         best = jnp.argmin(flat, axis=-1).astype(jnp.int32)

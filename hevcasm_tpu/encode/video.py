@@ -34,8 +34,8 @@ from . import motion
 from .loop import EncodeConfig, _inter_core, _residual_pipeline, encode_intra_frame
 
 __all__ = ["YuvFrame", "chroma_qp", "encode_inter_frame_yuv",
-           "encode_gop_yuv", "encode_gop_closed_loop",
-           "encode_gop_closed_loop_yuv"]
+           "encode_b_frame_yuv", "encode_gop_yuv", "encode_gop_closed_loop",
+           "encode_gop_closed_loop_yuv", "encode_gop_closed_loop_yuv_b"]
 
 
 class YuvFrame(NamedTuple):
@@ -60,9 +60,13 @@ def chroma_qp(qp: int) -> int:
 
 
 def _chroma_cfg(cfg: EncodeConfig) -> EncodeConfig:
+    # Chroma only uses the residual pipeline (MC comes from the luma MVs),
+    # so the luma-side inter_impl is reset — the fused inter kernels
+    # hardwire the 64/8x8 luma geometry and their config guard would
+    # otherwise reject the derived tu=4 config.
     return dataclasses.replace(
         cfg, qp=chroma_qp(cfg.qp), tu=4, ctu=cfg.ctu // 2,
-        search_range=cfg.search_range // 2,
+        search_range=cfg.search_range // 2, inter_impl="stages",
     )
 
 
@@ -138,39 +142,44 @@ def encode_inter_frame_yuv(cur: YuvFrame, ref: YuvFrame, cfg: EncodeConfig = Enc
     }
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
-    """One B frame: independent integer full search against both references,
-    quarter-pel refinement of each, then the fused bi-pred combining mean
-    (r0 + r1 + 64) >> 7 — the hevcasm_pred_bi contract (pred_inter.c:490-530).
-    Chroma bi-predicts with the same MV pair."""
-    h, w = cur.y.shape
-    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
-    src_ctus = ctu_mod.tile_frame(cur.y, cfg.ctu)
+def _b_frame_luma(src_ctus, ref0_y, ref1_y, pos, grid, cfg: EncodeConfig,
+                  qparams=None):
+    """Shared B-frame luma core: per-reference integer search + quarter-pel
+    refinement + bi combine + residual at the cfg-selected tier.
+
+    qparams None uses cfg.quant_params (nnz returned); a traced
+    (qscale, qshift, qoffset, dscale, dshift) tuple selects the traced-qp
+    residual stage (bits returned) — the rate controller's path.
+    Returns (rec_y_ctus, [mv0_qpel, mv1_qpel], nnz, bits)."""
+    gr, gc = grid
     r = cfg.search_range
-    pos = motion.ctu_positions(gr, gc, cfg.ctu)
     grid_fn = motion.grid_metric_fn(cfg.me_metric)
+    from .loop import _search_impl_resolved
 
     # Both references searched per-reference (a B frame needs both MVs):
     # the slab kernel per plane when the geometry fits, else ONE batched
     # grid call over the stacked planes.
-    from .loop import _search_impl_resolved
-
     planes = jax.vmap(
         lambda p: ctu_mod.pad_frame(
             p, r + motion.PAD_L, r + motion.PAD_R, r + motion.PAD_L, r + motion.PAD_R
         )
-    )(jnp.stack([ref0.y, ref1.y]))
+    )(jnp.stack([ref0_y, ref1_y]))
     if _search_impl_resolved(cfg, (gr, gc)) == "slab":
-        searched = [
-            motion.full_search_slab(src_ctus, planes[i], r, (gr, gc))
+        mv_ints = [
+            motion.full_search_slab(src_ctus, planes[i], r, (gr, gc))[0]
             for i in range(2)
         ]
-        mv_ints = [s[0] for s in searched]
     else:
         mv_ints, _ = motion.full_search_multi(
-            src_ctus, planes, pos, r, grid_fn=grid_fn, grid=(gr, gc), joint=False
+            src_ctus, planes, pos, r, grid_fn=grid_fn, grid=(gr, gc),
+            joint=False, metric=cfg.me_metric,
         )
+
+    if qparams is None:
+        scale, shift, offset = cfg.quant_params(False)
+        dscale, dshift = cfg.dequant_params()
+    else:
+        scale, shift, offset, dscale, dshift = qparams
 
     if (cfg.inter_impl in ("fused", "fused_batched", "fused_dma")
             and cfg.ctu == 64 and cfg.tu == 8):
@@ -185,9 +194,7 @@ def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: Encod
         flat = planes.reshape(2 * hp, wp)
         start0 = pos + mv_ints[0] + r
         start1 = pos + mv_ints[1] + r + jnp.asarray([hp, 0], jnp.int32)
-        scale, shift, offset = cfg.quant_params(False)
-        dscale, dshift = cfg.dequant_params()
-        rec_y_ctus, f0, f1, nnz_tu, _ = bi_ctu_fused_dma(
+        rec_y_ctus, f0, f1, nnz_tu, bits_tu = bi_ctu_fused_dma(
             src_ctus, flat, start0, start1, scale, shift, offset,
             dscale, dshift, group=cfg.fused_group,
         )
@@ -195,26 +202,48 @@ def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: Encod
             mv_ints[0] * 4 + jnp.stack([f0 // 4, f0 % 4], axis=-1),
             mv_ints[1] * 4 + jnp.stack([f1 // 4, f1 % 4], axis=-1),
         ]
-        nnz_y = jnp.sum(nnz_tu)
-        rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
-    else:
-        from ..kernels.interp_xla import refine_quarter_pel_mxu
+        return rec_y_ctus, mvs, jnp.sum(nnz_tu), jnp.sum(bits_tu)
 
-        mvs, preds16 = [], []
-        for i in range(2):
-            start = pos + mv_ints[i] + r
-            win = motion.extract_windows(planes[i], start, cfg.ctu + motion.TAPS - 1)
-            _, frac_idx, _ = refine_quarter_pel_mxu(src_ctus, win)
-            mv_qpel = mv_ints[i] * 4 + jnp.stack(
-                [frac_idx // 4, frac_idx % 4], axis=-1)
-            frac = mv_qpel & 3
-            p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
-            mvs.append(mv_qpel)
-            preds16.append(p16.astype(jnp.int32))
+    from ..kernels.interp_xla import refine_quarter_pel_mxu
 
-        pred_y = jnp.clip((preds16[0] + preds16[1] + 64) >> 7, 0, 255).astype(jnp.uint8)
+    mvs, preds16 = [], []
+    for i in range(2):
+        start = pos + mv_ints[i] + r
+        win = motion.extract_windows(planes[i], start, cfg.ctu + motion.TAPS - 1)
+        _, frac_idx, _ = refine_quarter_pel_mxu(src_ctus, win)
+        mv_qpel = mv_ints[i] * 4 + jnp.stack(
+            [frac_idx // 4, frac_idx % 4], axis=-1)
+        frac = mv_qpel & 3
+        p16 = pred_uni_16(win, frac[:, 1], frac[:, 0], motion.TAPS)
+        mvs.append(mv_qpel)
+        preds16.append(p16.astype(jnp.int32))
+
+    pred_y = jnp.clip((preds16[0] + preds16[1] + 64) >> 7, 0, 255).astype(jnp.uint8)
+    if qparams is None:
         rec_y_ctus, nnz_y, _ = _residual_pipeline(src_ctus, pred_y, cfg, intra=False)
-        rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
+        return rec_y_ctus, mvs, nnz_y, None
+    from .rate import _residual_pipeline_traced_params
+
+    rec_y_ctus, bits = _residual_pipeline_traced_params(
+        src_ctus, pred_y, qparams, cfg)
+    return rec_y_ctus, mvs, None, bits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_b_frame_yuv(cur: YuvFrame, ref0: YuvFrame, ref1: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
+    """One B frame: independent integer full search against both references,
+    quarter-pel refinement of each, then the fused bi-pred combining mean
+    (r0 + r1 + 64) >> 7 — the hevcasm_pred_bi contract (pred_inter.c:490-530).
+    Chroma bi-predicts with the same MV pair.  Luma runs the cfg-selected
+    tier (_b_frame_luma: the fused bi kernel under inter_impl='fused*')."""
+    h, w = cur.y.shape
+    gr, gc = ctu_mod.grid_shape(h, w, cfg.ctu)
+    src_ctus = ctu_mod.tile_frame(cur.y, cfg.ctu)
+    pos = motion.ctu_positions(gr, gc, cfg.ctu)
+
+    rec_y_ctus, mvs, nnz_y, _ = _b_frame_luma(
+        src_ctus, ref0.y, ref1.y, pos, (gr, gc), cfg)
+    rec_y = ctu_mod.untile_frame(rec_y_ctus, h, w)
 
     def chroma_bi(plane0, plane1, mv0, mv1, cur_plane):
         # Reference bi contract: each uni path keeps the int16 (acc >> 6)
@@ -339,6 +368,69 @@ def encode_gop_closed_loop_yuv(frames: YuvFrame, cfg: EncodeConfig = EncodeConfi
         "recon": rec,
         "psnr_y": jnp.concatenate([intra_y["psnr_db"][None], psnrs]),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_gop_closed_loop_yuv_b(frames: YuvFrame, cfg: EncodeConfig = EncodeConfig()):
+    """Closed-loop 4:2:0 GOP with B frames, ONE compiled program.
+
+    Display order I B P B P ... (odd frame count, ends on P); encode order
+    I, P2, B1, P4, B3, ...: each P is predicted from the previous P/I
+    RECONSTRUCTION and each B bi-predicts from the two surrounding
+    reconstructions — the conforming referencing structure (encode order !=
+    display order), with the luma B path on the cfg-selected tier (the
+    fused bi kernel under inter_impl='fused*').  Returns display-order
+    recon stacks + per-frame luma psnr; bit-exact vs composing
+    encode_inter_frame_yuv / encode_b_frame_yuv per frame in the same
+    encode order (tests/test_video.py)."""
+    t = frames.y.shape[0]
+    assert t % 2 == 1 and t >= 3, "IBPBP GOP needs an odd frame count >= 3"
+    from .intra_wavefront import encode_intra_frame_wavefront
+
+    intra_y = encode_intra_frame_wavefront(frames.y[0], cfg)
+
+    def chroma_plane_intra(plane):
+        ccfg = _chroma_cfg(cfg)
+        blocks = ctu_mod.tile_frame(plane, ccfg.ctu)
+        dc = jnp.mean(blocks.astype(jnp.float32), axis=(-2, -1))
+        pred = jnp.broadcast_to(
+            jnp.round(dc).astype(jnp.uint8)[:, None, None], blocks.shape)
+        rec, _, _ = _residual_pipeline(blocks, pred, ccfg, intra=True, luma=False)
+        return ctu_mod.untile_frame(rec, *plane.shape)
+
+    seed = YuvFrame(intra_y["recon"], chroma_plane_intra(frames.cb[0]),
+                    chroma_plane_intra(frames.cr[0]))
+
+    def at(t0, step=2):
+        return YuvFrame(frames.y[t0::step], frames.cb[t0::step],
+                        frames.cr[t0::step])
+
+    fb, fp = at(1), at(2)
+
+    def body(prev, cur2):
+        cur_b, cur_p = (YuvFrame(*cur2[0]), YuvFrame(*cur2[1]))
+        outp = encode_inter_frame_yuv(cur_p, prev, cfg)
+        outb = encode_b_frame_yuv(cur_b, prev, outp["recon"], cfg)
+        rb, rp = outb["recon"], outp["recon"]
+        return rp, ((rb.y, rb.cb, rb.cr), (rp.y, rp.cb, rp.cr),
+                    outb["psnr_y"], outp["psnr_y"])
+
+    _, (rb, rp, psb, psp) = jax.lax.scan(
+        body, seed, ((fb.y, fb.cb, fb.cr), (fp.y, fp.cb, fp.cr))
+    )
+
+    def interleave(b, p, lead):
+        pairs = jnp.stack([b, p], axis=1).reshape((-1,) + b.shape[1:])
+        return jnp.concatenate([lead[None], pairs])
+
+    rec = YuvFrame(interleave(rb[0], rp[0], seed.y),
+                   interleave(rb[1], rp[1], seed.cb),
+                   interleave(rb[2], rp[2], seed.cr))
+    psnrs = jnp.concatenate([
+        intra_y["psnr_db"][None],
+        jnp.stack([psb, psp], axis=1).reshape(-1),
+    ])
+    return {"recon": rec, "psnr_y": psnrs}
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))

@@ -110,3 +110,36 @@ def test_rate_control_out_of_range_qp_raises(rng, impl):
         encode_gop_rate_controlled(
             jnp.asarray(frames), 6000.0, 60, cfg, qp_min=55, qp_max=70
         )
+
+
+def test_rc_gop_b_frames(rng):
+    # IBPBP rate-controlled GOP: the scan program's first pair must equal
+    # the per-frame traced-qp composition at qp0.
+    from hevcasm_tpu.encode.rate import (
+        encode_b_frame_traced_qp, encode_gop_rate_controlled)
+
+    frames = jnp.asarray(_clip(rng, 5, 128, 192))
+    cfg = EncodeConfig(search_range=8, qp=32, inter_impl="fused_dma")
+    out = encode_gop_rate_controlled(frames, 20000.0, 32, cfg, b_frames=True)
+    assert out["recon"].shape == (4, 128, 192)
+    assert np.asarray(out["bits"]).min() > 0
+
+    p2 = encode_inter_frame_traced_qp(frames[2], frames[0], jnp.int32(32), cfg)
+    b1 = encode_b_frame_traced_qp(frames[1], frames[0], p2["recon"],
+                                  jnp.int32(32), cfg)
+    np.testing.assert_array_equal(np.asarray(out["recon"][1]),
+                                  np.asarray(p2["recon"]))
+    np.testing.assert_array_equal(np.asarray(out["recon"][0]),
+                                  np.asarray(b1["recon"]))
+
+
+def test_traced_qp_rdo_config_raises(rng):
+    frames = jnp.asarray(_clip(rng, 2, 128, 128))
+    cfg = EncodeConfig(search_range=8, qp=32, tu_sizes=(4, 8))
+    with pytest.raises(ValueError, match="pu_decision/tu_sizes"):
+        encode_inter_frame_traced_qp(frames[1], frames[0], jnp.int32(32), cfg)
+
+
+def test_fused_impl_requires_tu8():
+    with pytest.raises(ValueError, match="hardwires 8x8 TUs"):
+        EncodeConfig(tu=4, inter_impl="fused_dma")

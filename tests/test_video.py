@@ -155,3 +155,68 @@ def test_closed_loop_gop_yuv(rng):
             np.testing.assert_array_equal(
                 np.asarray(getattr(out["recon"], plane)[t]),
                 np.asarray(getattr(prev, plane)), err_msg=f"t={t} {plane}")
+
+
+def test_b_frame_yuv_fused_matches_staged(rng):
+    # The fused bi kernel (bi_ctu_fused_dma: in-kernel window DMA,
+    # per-reference QPEL_SCORE refinement, (r0+r1+64)>>7 combine, shared
+    # residual) must be bit-exact with the staged composition.
+    clip = _yuv_clip(rng, 3, 128, 192)
+    cur = YuvFrame(clip.y[1], clip.cb[1], clip.cr[1])
+    r0 = YuvFrame(clip.y[0], clip.cb[0], clip.cr[0])
+    r1 = YuvFrame(clip.y[2], clip.cb[2], clip.cr[2])
+    cfg_s = EncodeConfig(search_range=8, qp=30, inter_impl="stages")
+    cfg_f = EncodeConfig(search_range=8, qp=30, inter_impl="fused_dma")
+    outs = encode_b_frame_yuv(cur, r0, r1, cfg_s)
+    outf = encode_b_frame_yuv(cur, r0, r1, cfg_f)
+    for plane in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outf["recon"], plane)),
+            np.asarray(getattr(outs["recon"], plane)), err_msg=plane)
+    np.testing.assert_array_equal(np.asarray(outf["mvs0"]), np.asarray(outs["mvs0"]))
+    np.testing.assert_array_equal(np.asarray(outf["mvs1"]), np.asarray(outs["mvs1"]))
+    assert int(outf["nnz"]) == int(outs["nnz"])
+
+
+def test_closed_loop_gop_yuv_b(rng):
+    # IBPBP closed loop: display order I B P B P, every P from the previous
+    # P/I recon, every B from the two surrounding recons; the scan program
+    # must equal the per-frame composition in the same encode order.
+    from hevcasm_tpu.encode.video import encode_gop_closed_loop_yuv_b
+
+    clip = _yuv_clip(rng, 5, 128, 128)
+    cfg = EncodeConfig(search_range=8, qp=30)
+    out = encode_gop_closed_loop_yuv_b(clip, cfg)
+    assert out["recon"].y.shape == clip.y.shape
+    assert np.asarray(out["psnr_y"])[1:].min() > 35.0
+
+    def at(t):
+        return YuvFrame(clip.y[t], clip.cb[t], clip.cr[t])
+
+    def rec_at(t):
+        return YuvFrame(out["recon"].y[t], out["recon"].cb[t],
+                        out["recon"].cr[t])
+
+    prev = rec_at(0)  # the wavefront-intra seed the program produced
+    for k in range(2):
+        tb, tp = 2 * k + 1, 2 * k + 2
+        stepp = encode_inter_frame_yuv(at(tp), prev, cfg)
+        stepb = encode_b_frame_yuv(at(tb), prev, stepp["recon"], cfg)
+        for t, step in ((tp, stepp), (tb, stepb)):
+            for plane in ("y", "cb", "cr"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(out["recon"], plane)[t]),
+                    np.asarray(getattr(step["recon"], plane)),
+                    err_msg=f"t={t} {plane}")
+        prev = stepp["recon"]
+
+
+def test_yuv_rdo_config_raises(rng):
+    # The YUV entry points run the fixed geometry via loop._inter_core;
+    # a requested RDO decision must fail loudly, not be silently dropped.
+    clip = _yuv_clip(rng, 2, 128, 128)
+    cur = YuvFrame(clip.y[1], clip.cb[1], clip.cr[1])
+    ref = YuvFrame(clip.y[0], clip.cb[0], clip.cr[0])
+    cfg = EncodeConfig(search_range=8, qp=30, pu_decision=True)
+    with pytest.raises(ValueError, match="fixed CTU/TU geometry"):
+        encode_inter_frame_yuv(cur, ref, cfg)
