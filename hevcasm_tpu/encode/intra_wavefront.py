@@ -5,18 +5,30 @@ as the hardest part it defers; this module implements it.  True HEVC intra
 predicts each block from *reconstructed* neighbours, creating the raster
 dependency (left, above, above-right).  The TPU-native schedule is the WPP
 wavefront: with wave index w = 2r + c every dependency of block (r, c) —
-left (w-1), above (w-2), above-right (w-1... all strictly earlier waves —
-so all blocks of a wave are independent and batch together:
+left (w-1), above (w-2), above-right (w-1) — lands in a strictly earlier
+wave, so all blocks of a wave are independent and batch together:
 
-    lax.scan over waves  x  vmapped block slots within a wave
+    lax.scan over waves  x  batched block slots within a wave
 
-Each wave gathers neighbour rows/columns from a reconstruction canvas,
-evaluates all 35 intra modes batched, picks by SATD, runs the TU residual
-pipeline, and scatters the reconstructed blocks back into the canvas.
-Invalid slots write into a trash margin of the canvas.
+**Skewed canvas.**  The r4 implementation kept the reconstruction in frame
+layout and paid per wave for a vmapped dynamic-slice neighbour gather and a
+2-D scatter of the reconstructed blocks — ~0.85 ms/wave at 1080p (~107
+ms/frame), swamping the arithmetic.  Block (r, c) is now stored at skewed
+block-column c + 2r, which makes every wave COLUMN-ALIGNED:
 
-(Note: dependencies of (r, c) are left (r, c-1) -> wave w-1, above (r-1, c)
--> w-2, above-right (r-1, c+1) -> w-1, above-left (r-1, c-1) -> w-3.)
+  * wave w's blocks all live in skewed column w  -> the write is ONE
+    dynamic_update_slice of a (gr*n, n) column;
+  * every dependency lives in skewed columns w-3..w-1 (left at w-1, above
+    at w-2, above-right at w-1, corner at w-3)  -> all neighbour runs come
+    from ONE (ch, 3n) dynamic slice, rearranged by static reshapes.
+
+The mapping (r, c) -> (r, c + 2r) is injective, so out-of-range slots
+(waves touch at most min(gr, ...) valid blocks) write into cells no valid
+block ever reads.  Predictions/decisions are bit-exact with the raster-
+order sequential encode (tests/test_intra_wavefront.py).
+
+(Dependencies of (r, c): left (r, c-1) -> wave w-1, above (r-1, c) -> w-2,
+above-right (r-1, c+1) -> w-1, above-left (r-1, c-1) -> w-3.)
 """
 
 from __future__ import annotations
@@ -26,10 +38,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.pred_intra import filter_flag, pred_intra
 from ..utils.psnr import psnr
 from . import ctu as ctu_mod
-from .loop import EncodeConfig, _prepare_intra_refs, _residual_pipeline, _satd_cost
+from .loop import EncodeConfig, _intra_mode_decide, _prepare_intra_refs, \
+    _residual_pipeline
 
 __all__ = ["encode_intra_frame_wavefront"]
 
@@ -39,79 +51,84 @@ UNAVAILABLE = 128  # HEVC substitution value when no neighbour exists
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_intra_frame_wavefront(cur: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
     """Closed-loop intra frame: 35-mode decision against *reconstructed*
-    neighbours, WPP wave schedule.  cur (H, W) uint8; H, W multiples of
-    cfg.intra_block."""
+    neighbours, WPP wave schedule on a skewed canvas.  cur (H, W) uint8;
+    H, W multiples of cfg.intra_block."""
     h, w = cur.shape
     n = cfg.intra_block
     gr, gc = h // n, w // n
-    slots = gr                        # one potential slot per block row
     num_waves = 2 * (gr - 1) + gc
 
-    # Canvas layout: canvas[1 + y, 1 + x] == recon[y, x]; one border row/col
-    # of UNAVAILABLE on top/left, a trash block row at the bottom for masked
-    # slots, and 2n of slack on the right for the above-right neighbour run.
-    ch, cw = 1 + h + n, 1 + w + 2 * n
-    canvas0 = jnp.full((ch, cw), UNAVAILABLE, jnp.uint8)
+    # Skewed canvas: block (r, c) at rows [n + r*n, +n), block-column
+    # 3 + c + 2r (3 left margin block-cols so the w-3 slab read is always
+    # in range); one n-row margin top and bottom (the left-run read of the
+    # last block row reaches one block-group below).
+    ch = (gr + 2) * n
+    cwb = 3 + num_waves
+    canvas0 = jnp.full((ch, cwb * n), UNAVAILABLE, jnp.uint8)
 
-    cur_pad = jnp.pad(cur, ((0, n), (0, 0)), mode="edge")  # trash-row source
+    # Source in the same skewed layout, built once with static updates.
+    src_sk = jnp.zeros((ch, cwb * n), jnp.uint8)
+    for r in range(gr):
+        src_sk = jax.lax.dynamic_update_slice(
+            src_sk, cur[r * n : (r + 1) * n], (n + r * n, (3 + 2 * r) * n)
+        )
+
+    rr = jnp.arange(gr, dtype=jnp.int32)
+    ii = jnp.arange(2 * n, dtype=jnp.int32)
 
     def wave_body(canvas, wv):
-        r = jnp.arange(slots, dtype=jnp.int32)
-        c = wv - 2 * r
+        col = wv * n  # slab covers skewed block-cols wv-3..wv-1 (+3 margin)
+        slab = jax.lax.dynamic_slice(canvas, (0, col), (ch, 3 * n))
+        g = slab.reshape(gr + 2, n, 3 * n)
+        # Neighbour runs by static rearrangement of the slab:
+        #   above(-right) 2n-run of slot r = canvas row (r+1)*n - 1 across
+        #   skewed cols w-2, w-1  -> group r, inner row n-1, cols [n, 3n);
+        #   left run rows [n + r*n, +2n) at the w-1 column's last lane ->
+        #   groups r+1, r+2 (the lower half is never available: masked);
+        #   corner = same row as above at the w-3 column's last lane.
+        above = g[0:gr, n - 1, n : 3 * n]                  # (gr, 2n)
+        lcol = g[:, :, 3 * n - 1]                          # (gr+2, n)
+        left = jnp.concatenate([lcol[1 : gr + 1], lcol[2 : gr + 2]], axis=-1)
+        corner = g[0:gr, n - 1, n - 1]                     # (gr,)
+
+        src = jax.lax.dynamic_slice(src_sk, (0, col + 3 * n), (ch, n))
+        src = src.reshape(gr + 2, n, n)[1 : gr + 1]        # (gr, n, n)
+
+        c = wv - 2 * rr
         valid = (c >= 0) & (c < gc)
-        rr = jnp.where(valid, r, gr)          # invalid slots -> trash row
-        cc = jnp.clip(c, 0, gc - 1)
-        y0 = 1 + rr * n                        # canvas coords
-        x0 = 1 + cc * n
-
-        def gather(y0i, x0i):
-            above = jax.lax.dynamic_slice(canvas, (y0i - 1, x0i), (1, 2 * n))[0]
-            left = jax.lax.dynamic_slice(canvas, (y0i, x0i - 1), (2 * n, 1))[:, 0]
-            corner = jax.lax.dynamic_slice(canvas, (y0i - 1, x0i - 1), (1, 1))[0, 0]
-            src = jax.lax.dynamic_slice(cur_pad, (y0i - 1, x0i - 1), (n, n))
-            return above, left, corner, src
-
-        above, left, corner, src = jax.vmap(gather)(y0, x0)
-
         # Availability under the wavefront coding order (8.4.4.2.2): the
-        # left and above(-right) neighbours come from earlier waves, but the
-        # below-left run belongs to wave w+1 and is never available.
-        i = jnp.arange(2 * n, dtype=jnp.int32)[None, :]
+        # left and above(-right) neighbours come from earlier waves, but
+        # the below-left run belongs to wave w+1 and is never available.
         y_pix = rr[:, None] * n
-        x_pix = cc[:, None] * n
-        lav = (c[:, None] > 0) & (y_pix + i < h) & (i < n)
-        aav = (rr[:, None] > 0) & (x_pix + i < w)
+        x_pix = c[:, None] * n
+        lav = (c[:, None] > 0) & (y_pix + ii[None, :] < h) & (ii[None, :] < n)
+        aav = (rr[:, None] > 0) & (x_pix + ii[None, :] < w) & valid[:, None]
         cav = (c > 0) & (rr > 0)
         refs_plain, refs_filt = _prepare_intra_refs(
             left, above, corner, lav, aav, cav, n, cfg
         )
 
-        preds, costs = [], []
-        for mode in range(35):
-            lt, ab, cn = refs_filt if filter_flag(mode, n) else refs_plain
-            p = pred_intra(mode, lt, ab, cn, n, filter_edge=n < 32)
-            preds.append(p)
-            costs.append(_satd_cost(src, p))
-        preds = jnp.stack(preds, axis=1)                   # (slots, 35, n, n)
-        costs = jnp.stack(costs, axis=1)
-        best = jnp.argmin(costs, axis=-1).astype(jnp.int32)
-        pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+        pred, best = _intra_mode_decide(src, refs_plain, refs_filt, n)
 
         # Invalid (masked) slots encode a zero residual so they contribute
         # nothing to the nnz statistic.
         src = jnp.where(valid[:, None, None], src, pred)
         rec, nnz, _ = _residual_pipeline(src, pred, cfg, intra=True)
 
-        # Scatter the reconstructed blocks back into the canvas.
-        dy = jax.lax.broadcasted_iota(jnp.int32, (slots, n, n), 1)
-        dx = jax.lax.broadcasted_iota(jnp.int32, (slots, n, n), 2)
-        ys = y0[:, None, None] + dy
-        xs = x0[:, None, None] + dx
-        canvas = canvas.at[ys, xs].set(rec)
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, rec.reshape(gr * n, n), (n, col + 3 * n)
+        )
         return canvas, nnz
 
     canvas, nnzs = jax.lax.scan(wave_body, canvas0, jnp.arange(num_waves, dtype=jnp.int32))
-    recon = canvas[1 : 1 + h, 1 : 1 + w]
+
+    # De-skew: block row r's gc block-columns start at skewed col 3 + 2r.
+    rows = [
+        jax.lax.slice(canvas, (n + r * n, (3 + 2 * r) * n),
+                      (n + (r + 1) * n, (3 + 2 * r + gc) * n))
+        for r in range(gr)
+    ]
+    recon = jnp.concatenate(rows, axis=0)
     return {
         "recon": recon,
         "nnz": jnp.sum(nnzs),

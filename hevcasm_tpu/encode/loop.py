@@ -610,23 +610,30 @@ def _intra_neighbours(frame: jnp.ndarray, n: int):
     """
     h, w = frame.shape
     gr, gc = h // n, w // n
-    # Pad: 1 left/top and 2n right / n bottom so every gather is in range;
-    # out-of-frame content is masked out by the availability flags.
+    # Pad: 1 left/top and 2n right / n bottom so every extraction is in
+    # range; out-of-frame content is masked by the availability flags.
     p = jnp.pad(frame, ((1, n), (1, 2 * n)), mode="edge")
+
+    def runs(mat, blocks, count):
+        """(rows, 1 + count*n + n) -> (rows, count, 2n): the 2n-run starting
+        one past each n-aligned position — two shifted reshapes, no
+        per-block gather (vmapped dynamic_slice costs ~3 ms/frame at
+        1080p)."""
+        x1 = mat[:, 1 : 1 + count * n].reshape(blocks, count, n)
+        x2 = mat[:, 1 + n : 1 + count * n + n].reshape(blocks, count, n)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+    rows_mat = p[0 : gr * n : n]                       # (gr, 1 + w + 2n)
+    above = runs(rows_mat, gr, gc).reshape(gr * gc, 2 * n)
+    corner = rows_mat[:, 0 : gc * n : n].reshape(gr * gc)
+    cols_mat = p.T[0 : gc * n : n]                     # (gc, 1 + h + n)
+    left = runs(cols_mat, gc, gr)                      # (gc, gr, 2n)
+    left = jnp.swapaxes(left, 0, 1).reshape(gr * gc, 2 * n)
 
     ys = jnp.arange(gr) * n
     xs = jnp.arange(gc) * n
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     yy, xx = yy.reshape(-1), xx.reshape(-1)
-
-    def one(y, x):
-        above = jax.lax.dynamic_slice(p, (y, x + 1), (1, 2 * n))[0]
-        left = jax.lax.dynamic_slice(p, (y + 1, x), (2 * n, 1))[:, 0]
-        corner = jax.lax.dynamic_slice(p, (y, x), (1, 1))[0, 0]
-        return left, above, corner
-
-    left, above, corner = jax.vmap(one)(yy, xx)
-
     i = jnp.arange(2 * n, dtype=jnp.int32)
     lav = (xx[:, None] > 0) & (yy[:, None] + i[None, :] < h)
     aav = (yy[:, None] > 0) & (xx[:, None] + i[None, :] < w)
@@ -658,12 +665,62 @@ def _satd_cost(a, b):
     return per.reshape(a.shape[0], k).sum(-1) if a.ndim == 3 else per
 
 
+def _intra_mode_sweep(blocks, refs_plain, refs_filt, n: int):
+    """All-35-mode predictions + SATD costs for a batch of blocks.
+
+    Returns (preds (m, 35, n, n) uint8, costs (m, 35) int32).  At n == 32
+    (no edge filtering) the sweep is ONE constant int8 matmul
+    (kernels/intra_matrix — the gather-heavy per-mode loop made closed-loop
+    I frames cost ~107 ms at 1080p); other sizes run the per-mode REF
+    path.  SATD over 8x8 sub-blocks is the standard mode-decision cost
+    (what the reference's hadamard_satd kernels exist for,
+    hadamard.c:75-111)."""
+    from ..ops.pred_intra import filter_flag
+
+    m = blocks.shape[0]
+    if n == 32:
+        from ..kernels.intra_matrix import pred_intra_all_modes_mm
+
+        preds = pred_intra_all_modes_mm(*refs_plain, *refs_filt, n)
+    else:
+        preds = jnp.stack(
+            [pred_intra(mode,
+                        *(refs_filt if filter_flag(mode, n) else refs_plain),
+                        n, filter_edge=n < 32)
+             for mode in range(35)],
+            axis=1,
+        )
+    tiled = jnp.broadcast_to(blocks[:, None], (m, 35, n, n)).reshape(-1, n, n)
+    costs = _satd_cost(tiled, preds.reshape(-1, n, n)).reshape(m, 35)
+    return preds, costs
+
+
+def _intra_mode_decide(blocks, refs_plain, refs_filt, n: int):
+    """Mode decision + winning prediction for a batch of blocks.
+
+    Returns (pred (m, n, n) uint8, best (m,) int32).  At n == 32 the whole
+    decision runs in the Hadamard domain (kernels/intra_matrix.
+    intra_mode_decision_t — no candidate plane is materialized; the metric
+    is the raw-accumulator analogue of 8x8 SATD, so near-ties can resolve
+    to a different mode than the classic SATD sweep, while the winning
+    mode's prediction stays bit-exact with ops.pred_intra).  Other sizes
+    run the per-mode sweep with classic SATD."""
+    if n == 32:
+        from ..kernels.intra_matrix import intra_mode_decision_t
+
+        pred, best, _ = intra_mode_decision_t(
+            blocks, *refs_plain, *refs_filt, n)
+        return pred, best
+    preds, costs = _intra_mode_sweep(blocks, refs_plain, refs_filt, n)
+    best = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+    return pred, best
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_intra_frame(cur: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
     """Encode one intra (I) frame: batched 35-mode prediction at
     cfg.intra_block, SATD mode decision, then the TU pipeline."""
-    from ..ops.pred_intra import filter_flag
-
     h, w = cur.shape
     n = cfg.intra_block
     blocks = ctu_mod.tile_frame(cur, n)                        # (m, n, n)
@@ -671,19 +728,7 @@ def encode_intra_frame(cur: jnp.ndarray, cfg: EncodeConfig = EncodeConfig()):
         *_intra_neighbours(cur, n), n, cfg
     )
 
-    preds, costs = [], []
-    for mode in range(35):
-        l, a, c = refs_filt if filter_flag(mode, n) else refs_plain
-        p = pred_intra(mode, l, a, c, n, filter_edge=n < 32)
-        preds.append(p)
-        # SATD over 8x8 sub-blocks: the standard intra mode-decision cost
-        # (what the reference's hadamard_satd kernels exist for,
-        # hadamard.c:75-111).
-        costs.append(_satd_cost(blocks, p))
-    preds = jnp.stack(preds, axis=1)                           # (m, 35, n, n)
-    costs = jnp.stack(costs, axis=1)                           # (m, 35)
-    best = jnp.argmin(costs, axis=-1).astype(jnp.int32)
-    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
+    pred, best = _intra_mode_decide(blocks, refs_plain, refs_filt, n)
 
     rec_blocks, nnz, _ = _residual_pipeline(blocks, pred, cfg, intra=True)
     recon = ctu_mod.untile_frame(rec_blocks, h, w)

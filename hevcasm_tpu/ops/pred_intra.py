@@ -77,14 +77,25 @@ def substitute_references(left, above, corner, left_avail, above_avail,
     s = _scan_pack(left.astype(jnp.int32), above.astype(jnp.int32),
                    corner.astype(jnp.int32))
     m = _scan_pack(left_avail, above_avail, corner_avail)
-    length = s.shape[-1]
-    iota = jnp.arange(length, dtype=jnp.int32)
-    idx = jnp.where(m, iota, -1)
-    # forward fill: index of the most recent available sample at or before i
-    ff = jax.lax.associative_scan(jnp.maximum, idx, axis=-1)
-    first = jnp.argmax(m, axis=-1).astype(jnp.int32)      # first available
-    ff = jnp.where(ff < 0, first[..., None], ff)
-    vals = jnp.take_along_axis(s, ff, axis=-1)
+
+    # Forward fill as ONE gather-free associative scan over (value, avail)
+    # pairs — the combinator keeps the later operand's value when it is
+    # available.  (The r4 formulation scanned fill INDICES and gathered
+    # them back with take_along_axis; TPU gathers lower to serialized
+    # loops and cost ~1.8 ms per (2040, 130) call at 1080p.)
+    def keep_last(a, b):
+        return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+
+    ax = s.ndim - 1
+    vals, _ = jax.lax.associative_scan(keep_last, (s, m), axis=ax)
+    # A leading unavailable run takes the FIRST available sample: the
+    # reversed scan folds the FLIPPED sequence (so the same keep_last
+    # combinator yields the nearest available at-or-after each position),
+    # and its position 0 holds the first available overall.
+    rvals, _ = jax.lax.associative_scan(keep_last, (s, m), axis=ax,
+                                        reverse=True)
+    filled = jnp.cumsum(m.astype(jnp.int32), axis=-1) > 0
+    vals = jnp.where(filled, vals, rvals[..., :1])
     vals = jnp.where(jnp.any(m, axis=-1)[..., None], vals, 128)
     l, a, c = _scan_unpack(vals, n2)
     return l.astype(jnp.uint8), a.astype(jnp.uint8), c.astype(jnp.uint8)

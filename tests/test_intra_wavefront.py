@@ -6,9 +6,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from hevcasm_tpu.encode import EncodeConfig
-from hevcasm_tpu.encode.loop import _prepare_intra_refs, _residual_pipeline, _satd_cost
+from hevcasm_tpu.encode.loop import (_intra_mode_decide, _prepare_intra_refs,
+    _residual_pipeline)
 from hevcasm_tpu.encode.intra_wavefront import encode_intra_frame_wavefront, UNAVAILABLE
-from hevcasm_tpu.ops.pred_intra import filter_flag, pred_intra
 
 
 def _raster_reference(cur, cfg):
@@ -32,16 +32,11 @@ def _raster_reference(cur, cfg):
             plain, filt = _prepare_intra_refs(
                 left, above, corner, lav, aav, cav, n, cfg)
 
-            preds = [
-                pred_intra(
-                    m, *(filt if filter_flag(m, n) else plain), n,
-                    filter_edge=n < 32,
-                )[0]
-                for m in range(35)
-            ]
-            costs = [int(_satd_cost(src[None], p[None])[0]) for p in preds]
-            best = int(np.argmin(costs))
-            pred = preds[best]
+            # Mode decision through the SAME helper the wavefront uses
+            # (this oracle verifies the DEPENDENCY ORDER, not the metric;
+            # the metric itself is covered by tests/test_pred_intra.py).
+            pred, _ = _intra_mode_decide(src[None], plain, filt, n)
+            pred = pred[0]
 
             rec, nnz, _ = _residual_pipeline(src[None], pred[None], cfg, intra=True)
             canvas[y0 : y0 + n, x0 : x0 + n] = np.asarray(rec[0])

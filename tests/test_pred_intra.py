@@ -149,3 +149,36 @@ def test_all_modes_shape(rng):
     corner = rng.integers(0, 256, (3,), dtype=np.uint8)
     out = np.asarray(ops.pred_intra_all_modes(left, above, corner, n))
     assert out.shape == (3, 35, n, n)
+
+
+def test_intra_matrix_all_modes_bit_exact(rng):
+    # The constant-matmul formulation (kernels/intra_matrix) must equal the
+    # per-mode jnp path for every mode at n == 32 (no edge filter).
+    import jax.numpy as jnp
+    from hevcasm_tpu.kernels.intra_matrix import (
+        intra_mode_decision_t, pred_intra_all_modes_mm)
+    from hevcasm_tpu.ops.pred_intra import (
+        filter_flag, filter_references, pred_intra)
+
+    n, m = 32, 5
+    left = jnp.asarray(rng.integers(0, 256, (m, 2 * n), dtype=np.uint8))
+    above = jnp.asarray(rng.integers(0, 256, (m, 2 * n), dtype=np.uint8))
+    corner = jnp.asarray(rng.integers(0, 256, (m,), dtype=np.uint8))
+    blocks = jnp.asarray(rng.integers(0, 256, (m, n, n), dtype=np.uint8))
+    lf, af, cf = filter_references(left, above, corner, n)
+    allm = np.asarray(pred_intra_all_modes_mm(left, above, corner, lf, af, cf, n))
+    for mode in range(35):
+        refs = (lf, af, cf) if filter_flag(mode, n) else (left, above, corner)
+        want = np.asarray(pred_intra(mode, *refs, n, filter_edge=False))
+        np.testing.assert_array_equal(allm[:, mode], want, err_msg=f"mode {mode}")
+
+    # The Hadamard-domain decision's winning prediction is the exact
+    # pred_intra output of the chosen mode.
+    pred, best, _ = intra_mode_decision_t(blocks, left, above, corner, lf, af, cf, n)
+    pred, best = np.asarray(pred), np.asarray(best)
+    for i in range(m):
+        mode = int(best[i])
+        refs = (lf, af, cf) if filter_flag(mode, n) else (left, above, corner)
+        want = np.asarray(pred_intra(mode, refs[0][i:i+1], refs[1][i:i+1],
+                                     refs[2][i:i+1], n, filter_edge=False))[0]
+        np.testing.assert_array_equal(pred[i], want, err_msg=f"slot {i}")

@@ -135,17 +135,11 @@ def test_closed_loop_gop_yuv(rng):
 
     intra_y = encode_intra_frame_wavefront(clip.y[0], cfg)
 
-    def chroma_intra(plane):
-        ccfg = _chroma_cfg(cfg)
-        blocks = ctu_mod.tile_frame(plane, ccfg.ctu)
-        dc = jnp.mean(blocks.astype(jnp.float32), axis=(-2, -1))
-        pred = jnp.broadcast_to(
-            jnp.round(dc).astype(jnp.uint8)[:, None, None], blocks.shape)
-        rec, _, _ = _residual_pipeline(blocks, pred, ccfg, intra=True, luma=False)
-        return ctu_mod.untile_frame(rec, *plane.shape)
+    from hevcasm_tpu.encode.video import _chroma_intra_plane
 
-    prev = YuvFrame(intra_y["recon"], chroma_intra(clip.cb[0]),
-                    chroma_intra(clip.cr[0]))
+    prev = YuvFrame(intra_y["recon"],
+                    _chroma_intra_plane(clip.cb[0], cfg)[0],
+                    _chroma_intra_plane(clip.cr[0], cfg)[0])
     np.testing.assert_array_equal(np.asarray(out["recon"].y[0]), np.asarray(prev.y))
     for t in range(1, 4):
         step = encode_inter_frame_yuv(
