@@ -41,6 +41,10 @@ PEAK_BF16_FLOPS = 197e12
 
 def measure():
     import jax
+
+    from hevcasm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

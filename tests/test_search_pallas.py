@@ -5,6 +5,7 @@ random inputs, bit-exact integer comparison across every strategy variant.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from hevcasm_tpu.kernels import search_pallas, xla_opt
@@ -127,3 +128,54 @@ def test_search_variants_match_full_search(rng):
     want = np.asarray(xla_opt.ssd_grid(src, win, 65, 65))
     got = np.asarray(ssd_grid(src, win, 65, 65, prep="xla"))
     assert np.array_equal(want, got)
+
+
+def test_ssd_grid_plane_matches_gathered(rng):
+    # Slab kernel (windows read from the plane in 64-row blocks) vs
+    # ssd_grid on gathered windows — bit-exact.
+    from hevcasm_tpu.kernels.search_pallas import ssd_grid_plane
+
+    gr, gc = 2, 4
+    plane = rng.integers(0, 256, (gr * 64 + 64, gc * 64 + 64), dtype=np.uint8)
+    src = rng.integers(0, 256, (gr * gc, 64, 64), dtype=np.uint8)
+    win = np.stack([plane[64 * r : 64 * r + 128, 64 * c : 64 * c + 128]
+                    for r in range(gr) for c in range(gc)])
+    ref = np.asarray(search_pallas.ssd_grid(src, win, 65, 65))
+    got = np.asarray(ssd_grid_plane(src, jnp.asarray(plane), (gr, gc), 65))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ssd_grid_plane_multi_matches_per_plane(rng):
+    # k-reference slab search (stack built once, scored per plane) vs
+    # per-plane slab calls — bit-exact.
+    from hevcasm_tpu.kernels.search_pallas import (
+        ssd_grid_plane, ssd_grid_plane_multi)
+
+    gr, gc, k = 2, 2, 3
+    planes = rng.integers(0, 256, (k, gr * 64 + 64, gc * 64 + 64),
+                          dtype=np.uint8)
+    src = rng.integers(0, 256, (gr * gc, 64, 64), dtype=np.uint8)
+    got = np.asarray(ssd_grid_plane_multi(src, jnp.asarray(planes), (gr, gc), 65))
+    for p in range(k):
+        want = np.asarray(ssd_grid_plane(src, jnp.asarray(planes[p]), (gr, gc), 65))
+        np.testing.assert_array_equal(got[:, p], want, err_msg=f"plane {p}")
+
+
+def test_full_search_slab_matches_full_search(rng):
+    # The loop-level slab path == motion.full_search (same argmin
+    # semantics) for the covered geometry.
+    from hevcasm_tpu.encode import ctu as ctu_mod, motion
+
+    gr, gc, r = 2, 4, 32
+    h, w = gr * 64, gc * 64
+    ref = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    cur = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    src = ctu_mod.tile_frame(jnp.asarray(cur), 64)
+    pad = ctu_mod.pad_frame(jnp.asarray(ref), r + motion.PAD_L, r + motion.PAD_R,
+                            r + motion.PAD_L, r + motion.PAD_R)
+    pos = motion.ctu_positions(gr, gc, 64)
+    gf = motion.grid_metric_fn("ssd")
+    mv_a, best_a = motion.full_search(src, pad, pos, r, grid_fn=gf, grid=(gr, gc))
+    mv_b, best_b = motion.full_search_slab(src, pad, r, (gr, gc))
+    np.testing.assert_array_equal(np.asarray(mv_b), np.asarray(mv_a))
+    np.testing.assert_array_equal(np.asarray(best_b), np.asarray(best_a))

@@ -18,6 +18,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hevcasm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from hevcasm_tpu.encode import EncodeConfig
     from hevcasm_tpu.encode.loop import encode_inter_frame
 
