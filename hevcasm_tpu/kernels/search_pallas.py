@@ -1147,6 +1147,170 @@ def base_grids_ctu(src_ctus: jnp.ndarray, windows: jnp.ndarray, base: int,
     return jnp.swapaxes(out[:n].reshape(n, k, k, num, num), -1, -2)
 
 
+def _argmin_mv_masked(ssd, num):
+    """_argmin_mv over an (R, C) grid whose valid region is [0, num)^2
+    ([dx, dy] orientation), R >= num, C >= num."""
+    r = (num - 1) // 2
+    rows, cols = ssd.shape
+    dxi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    dyi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    valid = (dxi < num) & (dyi < num)
+    big = jnp.int32(2147483647)
+    best = jnp.min(jnp.where(valid, ssd, big))
+    idx = jnp.min(jnp.where(valid & (ssd == best), dyi * num + dxi, big))
+    dy, dx = idx // num, idx % num
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    return (jnp.where(lane == 0, dy - r, 0)
+            + jnp.where(lane == 1, dx - r, 0)
+            + jnp.where(lane == 2, best, 0))
+
+
+def _fc_decide_kernel(src_ref, win_ref, band_ref, sq_ref, out_ref, *,
+                      num, group, pu_lists):
+    """Fine/coarse base-16 PU decision: dx = 16c + f.
+
+    The r4 decide kernel (_base_grids_kernel) pays 16 per-sub-block rolled
+    stack builds whose 16-wide sources occupy 1/8 of each 128-lane K block
+    (273M issued MACs/CTU) plus 16 _band_mxu byte-split passes.  Here the
+    FINE shift f in [0, 16) rides the LHS (it needs only 32-lane slack, so
+    four 4-row K-chunks pack one 128-lane block FULLY) and the COARSE
+    shift 16c rides shared RHS copies along N:
+
+      g_ij[(f, u), 128c + yy] = sum_q sum_v src[16i+4q+u, 16j+v]
+                                 * win[yy + 4q, 16(j+c) + f + v]
+      corr_ij(16c + f, dy)    = sum_u g_ij[(f, u), 128c + 16i + u + dy]
+
+    LHS_ij is ONE packed int32 row (the four 4-row chunks of sub-block
+    (i, j) laid at 32-lane spans) fine-doubled to 16 f-slabs — a 16x
+    smaller build than r4's per-sub-block stacks.  The RHS is assembled
+    ONCE per CTU for all 8 lane-shifts s = j + c (each block q = the
+    window rolled up 4q rows, lane-shifted 16s, masked to 32 lanes);
+    wrap-around garbage only ever reaches outputs with dx >= 65, which
+    the masked argmin discards (see the bound walk-through in
+    docs/DESIGN.md section 8).  Per sub-block ONE (64, 128) x (640, 128)
+    matmul replaces the r4 stack matmul + 3-way _band_mxu split.
+
+    Covers base == 16 (the default pu_layouts' granularity); other bases
+    use _base_grids_kernel."""
+    base, k, P = 16, 4, len(pu_lists)
+    for gi in range(group):
+        win_u8 = win_ref[gi]                              # (128, 128)
+        w32 = win_u8.astype(jnp.int32) - 128
+        box = _energy_mxu(w32, band_ref[...], base)       # [dx, dy]
+        pw = pltpu.bitcast(
+            pltpu.bitcast(win_u8 ^ jnp.uint8(128), jnp.int8), jnp.int32
+        )                                                 # (32, 128) packed
+        ps = pltpu.bitcast(
+            pltpu.bitcast(src_ref[gi] ^ jnp.uint8(128), jnp.int8), jnp.int32
+        )                                                 # (16, 128) packed
+
+        # --- shared RHS: 8 s-shifts x 4 row-chunk blocks ------------------
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (32, _LW), 1)
+        shq = [pw if q == 0 else pltpu.roll(pw, 32 - q, axis=0)
+               for q in range(4)]                         # win rows + 4q
+        rhs_blocks = []
+        for s in range(8):
+            acc = None
+            for q in range(4):
+                t = shq[q] if s == 0 else pltpu.roll(
+                    shq[q], (_LW - 16 * s) % _LW, axis=1)
+                t = jnp.where(lane32 < 32, t, 0)
+                if q:
+                    t = pltpu.roll(t, 32 * q, axis=1)
+                acc = t if acc is None else acc + t
+            rhs_blocks.append(acc)
+        rhs_all = pltpu.bitcast(
+            jnp.concatenate(rhs_blocks, axis=0), jnp.int8
+        )                                                 # (8*128, 128)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LW), 1)
+        grids = []
+        for i in range(k):
+            for j in range(k):
+                # LHS: one packed row = the 4 chunks at 32-lane spans.
+                b0 = None
+                for q in range(4):
+                    row = ps[4 * i + q : 4 * i + q + 1]   # (1, 128)
+                    t = pltpu.roll(row, (_LW + 32 * q - 16 * j) % _LW, axis=1)
+                    t = jnp.where(
+                        (lane1 >= 32 * q) & (lane1 < 32 * q + base), t, 0)
+                    b0 = t if b0 is None else b0 + t
+                stk = b0
+                m = 1
+                while m < 16:
+                    take = min(m, 16 - m)
+                    ext = pltpu.roll(stk[:take], m, axis=1)
+                    stk = jnp.concatenate([stk, ext], axis=0)
+                    m += take
+                lhs8 = pltpu.bitcast(stk, jnp.int8)       # (64, 128) (f, u)
+
+                rhs_j = rhs_all[_LW * j : _LW * j + 5 * _LW]
+                g = jax.lax.dot_general(
+                    lhs8, rhs_j, _DN1, preferred_element_type=jnp.int32
+                )                                         # (64, 640)
+                t = _band_tree(g, 4, 16, 640, 640)        # (16, 640)
+                t = pltpu.roll(t, (640 - 16 * i) % 640, axis=1)
+                corr80 = jnp.concatenate(
+                    [t[:, _LW * c : _LW * (c + 1)] for c in range(5)],
+                    axis=0,
+                )                                         # (80, 128) [dx, dy]
+                ey = pltpu.roll(box[16 * j : 16 * j + 80],
+                                (_LW - 16 * i) % _LW, axis=1)
+                grids.append(sq_ref[gi, i * k + j] + ey - 2 * corr80)
+
+        for p_idx, subs in enumerate(pu_lists):
+            pu = grids[subs[0]]
+            for tix in subs[1:]:
+                pu = pu + grids[tix]
+            out_ref[gi, p_idx] = _argmin_mv_masked(pu, num)
+
+
+@functools.partial(jax.jit, static_argnames=("pu_lists", "group"))
+def base_layout_decide_fc(src_ctus: jnp.ndarray, windows: jnp.ndarray,
+                          pu_lists, group: int = 2):
+    """Fine/coarse base-16 decide-in-kernel PU selection (_fc_decide_kernel)
+    — same contract and bit-identical results as
+    base_layout_decide(base=16) (tests/test_partition.py), measured faster
+    on v5e."""
+    n, b, _ = src_ctus.shape
+    assert b == 64 and windows.shape[-1] == _LW and windows.shape[-2] == _LW
+    base, k = 16, 4
+    num = _LW - b + 1
+    P = len(pu_lists)
+    G = min(group, n)
+    steps = -(-n // G)
+    pad = steps * G - n
+    if pad:
+        src_ctus = jnp.pad(src_ctus, ((0, pad), (0, 0), (0, 0)))
+        windows = jnp.pad(windows, ((0, pad), (0, 0), (0, 0)))
+    src_w = jnp.pad(src_ctus, ((0, 0), (0, 0), (0, _LW - b)),
+                    constant_values=128)
+    si = src_ctus.astype(jnp.int32) - 128
+    sq = (si * si).reshape(-1, k, base, k, base).sum(axis=(2, 4))
+    sq = sq.reshape(-1, k * k, 1, 1)
+    kernel = functools.partial(_fc_decide_kernel, num=num, group=G,
+                               pu_lists=pu_lists)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, b, _LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, _LW, _LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LW, _LW), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k * k, 1, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, P, 1, 8), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * G, P, 1, 8), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(src_w, windows, jnp.asarray(_band_ones(base)), sq)
+    return out[:n, :, 0, :3]
+
+
 # ---------------------------------------------------------------------------
 # In-kernel-DMA full search: window fetch + SSD grid + argmin in ONE kernel.
 # ---------------------------------------------------------------------------

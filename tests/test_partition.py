@@ -275,3 +275,25 @@ def test_tu_selection_prices_real_bits(rng):
         lv = levels.reshape(n, k, tu, tu)
         want = np.asarray([int(bits_estimate(lv[c])) for c in range(n)])
         np.testing.assert_array_equal(np.asarray(bits), want, err_msg=f"tu={tu}")
+
+
+def test_fc_decide_matches_base_layout_decide(rng):
+    # The fine/coarse decide kernel (measured slower on v5e, kept as a
+    # tested variant — docs/DESIGN.md section 8) must stay bit-exact with
+    # base_layout_decide at base=16.
+    import jax.numpy as jnp
+    from hevcasm_tpu.kernels.search_pallas import (
+        base_layout_decide, base_layout_decide_fc)
+
+    n = 3
+    src = jnp.asarray(rng.integers(0, 256, (n, 64, 64), dtype=np.uint8))
+    win = jnp.asarray(rng.integers(0, 256, (n, 128, 128), dtype=np.uint8))
+    pu_lists = (
+        tuple(range(16)),
+        tuple(range(8)), tuple(range(8, 16)),
+        tuple(t for t in range(16) if t % 4 < 2),
+        tuple(t for t in range(16) if t % 4 >= 2),
+    ) + tuple((t,) for t in range(16))
+    ref = np.asarray(base_layout_decide(src, win, 16, pu_lists))
+    got = np.asarray(base_layout_decide_fc(src, win, pu_lists))
+    np.testing.assert_array_equal(got, ref)
