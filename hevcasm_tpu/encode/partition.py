@@ -316,10 +316,13 @@ def select_pu_layout_pruned(src_ctus, ref_padded, pos, windows, r: int,
     cost_t, slab = refine_qpel_costmap_dma(src_tiles, ref_padded, start)
     cost_t = cost_t.reshape(n, m, 16)
 
-    # Scatter-add tile maps into per-PU maps; ONE fraction per PU.
-    cost_pu = jnp.zeros((n, pmax, 16), jnp.int32).at[
-        jnp.arange(n)[:, None], pu_of
-    ].add(cost_t)
+    # Tile maps -> per-PU maps; ONE fraction per PU.  Masked one-hot sum
+    # instead of a scatter-add: TPU XLA scatters serialize (the same
+    # lowering that cost the intra path 44 ms/frame in a gather).
+    onehot = (pu_of[:, :, None] == jnp.arange(pmax, dtype=jnp.int32)[None, None])
+    cost_pu = jnp.sum(
+        jnp.where(onehot[..., None], cost_t[:, :, None, :], 0), axis=1
+    )                                                        # (n, pmax, 16)
     frac_pu = jnp.argmin(cost_pu, axis=-1).astype(jnp.int32)  # (n, pmax)
     frac_t = jnp.take_along_axis(frac_pu, pu_of, axis=1).reshape(n * m)
 
