@@ -298,6 +298,24 @@ def measure():
                "nnz": int(cout["nnz"])},
     )
 
+    # ---- B-frame row: the fused bi kernel (both refine windows DMA'd
+    # in-kernel, per-reference refinement, (r0+r1+64)>>7 combine, shared
+    # residual) on the structured 4:2:0 content.
+    from hevcasm_tpu.encode.video import encode_b_frame_yuv
+
+    sref2 = jnp.asarray(pan[30 : 30 + h, 28 : 28 + w])
+    bout = encode_b_frame_yuv(
+        YuvFrame(scur, cb1, cb1), YuvFrame(sref, cb0, cb0),
+        YuvFrame(sref2, cb0, cb0), cfg)
+    measure_cfg(
+        "b_frame_yuv420_fused_bi",
+        lambda c, r: encode_b_frame_yuv(
+            YuvFrame(c, cb1, cb1), YuvFrame(r, cb0, cb0),
+            YuvFrame(sref2, cb0, cb0), cfg)["recon"].y,
+        scur, sref, iters=20,
+        extra={"psnr_y": round(float(bout["psnr_y"]), 2)},
+    )
+
     # ---- closed-loop I-frame row (the wavefront intra seed every closed
     # GOP pays; VERDICT r4 weak #6 priced it unmeasured).
     from hevcasm_tpu.encode.intra_wavefront import encode_intra_frame_wavefront
